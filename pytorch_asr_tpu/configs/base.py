@@ -1,0 +1,183 @@
+"""Typed experiment configs (SURVEY.md §2.1 'Config system').
+
+The reference genre uses YAML + argparse; here configs are frozen dataclasses so
+that anything that reaches a ``jax.jit`` boundary is hashable and static.  One
+canonical config exists per BASELINE.json config (lines 6-12); CLI overrides are
+simple ``key=value`` dot-paths (see ``apply_overrides``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """STFT -> log-mel frontend parameters (SURVEY.md §2.1 frontend row)."""
+
+    sample_rate: int = 16000
+    win_length: int = 400          # 25 ms
+    hop_length: int = 160          # 10 ms
+    n_fft: int = 512
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: float = 8000.0
+    log_floor: float = 1e-6
+    normalize: bool = True         # per-utterance mean/var over valid frames
+    use_pallas: bool = True        # Pallas framed-STFT kernel on TPU
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """LibriSpeech / synthetic data pipeline parameters."""
+
+    librispeech_root: str = ""      # empty -> synthetic audio fixture
+    split: str = "dev-clean"
+    vocab: str = "char"             # char vocab; blank=0
+    batch_size: int = 8
+    # Bucket boundaries in audio samples; each bucket is one static XLA shape.
+    bucket_audio_lens: Tuple[int, ...] = (48000, 96000, 160000, 240000, 320000)
+    bucket_label_lens: Tuple[int, ...] = (96, 192, 320, 480, 640)
+    shuffle_seed: int = 0
+    synthetic_num_utts: int = 128   # used when librispeech_root == ""
+    synthetic_min_sec: float = 1.0
+    synthetic_max_sec: float = 12.0
+
+
+@dataclass(frozen=True)
+class BiLSTMEncoderConfig:
+    """conv subsampling + BiLSTM stack (BASELINE config 1/2)."""
+
+    kind: str = "bilstm"
+    conv_channels: Tuple[int, ...] = (32, 32)
+    conv_kernel: Tuple[int, int] = (3, 3)
+    conv_stride: Tuple[int, int] = (2, 2)   # applied per conv layer: time x freq
+    hidden_dim: int = 512
+    num_layers: int = 4
+    dropout: float = 0.1
+
+
+@dataclass(frozen=True)
+class TCNEncoderConfig:
+    """Dilated temporal-conv encoder (BASELINE config 3)."""
+
+    kind: str = "tcn"
+    channels: int = 384
+    kernel_size: int = 5
+    num_blocks: int = 10
+    dilation_cycle: Tuple[int, ...] = (1, 2, 4, 8, 16)
+    subsample: int = 4              # initial strided conv time reduction
+    dropout: float = 0.1
+    use_pallas: bool = True         # Pallas dilated-conv kernel on the hot path
+
+
+@dataclass(frozen=True)
+class LASDecoderConfig:
+    """Listen-Attend-Spell attention decoder (BASELINE config 4/5)."""
+
+    embed_dim: int = 256
+    hidden_dim: int = 512
+    num_layers: int = 1
+    attention_dim: int = 256
+    location_kernel: int = 31       # location-sensitive attention conv
+    location_filters: int = 32
+    dropout: float = 0.1
+    label_smoothing: float = 0.1
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    encoder: Any = field(default_factory=BiLSTMEncoderConfig)
+    decoder: LASDecoderConfig | None = None   # None => CTC-only
+    ctc_weight: float = 1.0         # 1.0 CTC-only; 0.0 attention-only; else joint
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    optimizer: str = "adamw"
+    peak_lr: float = 3e-4
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    weight_decay: float = 1e-6
+    grad_clip_norm: float = 5.0
+    b1: float = 0.9
+    b2: float = 0.98
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    seed: int = 0
+    log_every: int = 50
+    eval_every: int = 1000
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "/tmp/asr_tpu_ckpt"
+    keep_checkpoints: int = 3
+    remat_encoder: bool = False
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    method: str = "greedy"          # greedy | prefix_beam | attention_beam | joint_beam
+    beam_size: int = 16
+    # Shallow fusion: score += lm_alpha * logP_LM(word|ctx) + lm_beta per token.
+    lm_path: str = ""               # ARPA n-gram; empty -> no LM
+    lm_alpha: float = 0.5
+    lm_beta: float = 1.0
+    # attention/joint beam
+    max_decode_len: int = 256
+    length_norm: float = 1.0
+    joint_ctc_weight: float = 0.3
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout (SURVEY.md §2.3/§2.4)."""
+
+    data_axis: int = -1             # -1: all remaining devices
+    model_axis: int = 1
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "exp"
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def _coerce(value: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        elem = current[0] if current else 0
+        return tuple(type(elem)(v) for v in value.split(","))
+    return value
+
+
+def apply_overrides(cfg: Any, overrides: dict[str, str]) -> Any:
+    """Apply ``{"a.b.c": "value"}`` overrides to a (possibly nested) frozen dataclass."""
+    for key, value in overrides.items():
+        parts = key.split(".")
+        cfg = _apply_one(cfg, parts, value)
+    return cfg
+
+
+def _apply_one(cfg: Any, parts: list[str], value: str) -> Any:
+    head = parts[0]
+    if not hasattr(cfg, head):
+        raise KeyError(f"config has no field {head!r} (object {type(cfg).__name__})")
+    if len(parts) == 1:
+        return dataclasses.replace(cfg, **{head: _coerce(value, getattr(cfg, head))})
+    return dataclasses.replace(cfg, **{head: _apply_one(getattr(cfg, head), parts[1:], value)})

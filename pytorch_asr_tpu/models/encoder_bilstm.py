@@ -1,0 +1,142 @@
+"""conv+BiLSTM encoder (SURVEY.md §2.1; BASELINE config 1, DeepSpeech2-like).
+
+The reference realization is cuDNN ``nn.Conv2d`` + ``nn.LSTM``; the TPU-native
+design instead:
+
+  * 2-D conv subsampling (time x freq stride) -> time/4, mapped to the MXU by XLA.
+  * LSTM layers where the input projection for ALL timesteps is one large matmul
+    (B*T, D) @ (D, 4H) -- MXU-friendly -- and only the (B, H) @ (H, 4H) hidden
+    recurrence runs inside ``jax.lax.scan`` (SURVEY.md §7.3 'BiLSTM throughput').
+  * Bidirectionality via a flipped scan with start-masked carries, so padded
+    positions never contaminate state.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pytorch_asr_tpu.configs.base import BiLSTMEncoderConfig
+
+
+def _lstm_scan(xproj: jax.Array, whh: jax.Array, valid: jax.Array,
+               carry_dtype=jnp.float32) -> jax.Array:
+    """Run an LSTM over time.
+
+    Args:
+      xproj: (T, B, 4H) precomputed input projection (+bias).
+      whh:   (H, 4H) hidden-to-hidden weights.
+      valid: (T, B) bool; where False the carry passes through unchanged.
+    Returns: (T, B, H) hidden states.
+    """
+    T, B, H4 = xproj.shape
+    H = H4 // 4
+    h0 = jnp.zeros((B, H), dtype=carry_dtype)
+    c0 = jnp.zeros((B, H), dtype=carry_dtype)
+
+    def cell(carry, inp):
+        h, c = carry
+        x_t, valid_t = inp
+        gates = x_t.astype(carry_dtype) + h @ whh.astype(carry_dtype)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        m = valid_t[:, None]
+        h_new = jnp.where(m, h_new, h)
+        c_new = jnp.where(m, c_new, c)
+        return (h_new, c_new), h_new
+
+    _, hs = jax.lax.scan(cell, (h0, c0), (xproj, valid))
+    return hs
+
+
+class LSTMDirection(nn.Module):
+    """One direction of a BiLSTM layer."""
+
+    hidden_dim: int
+    reverse: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
+        B, T, D = x.shape
+        H = self.hidden_dim
+        wih = self.param("wih", nn.initializers.xavier_uniform(), (D, 4 * H), jnp.float32)
+        whh = self.param("whh", nn.initializers.orthogonal(), (H, 4 * H), jnp.float32)
+        # Forget-gate bias 1.0 (standard LSTM training stabilizer).
+        b = self.param("bias", _lstm_bias_init, (4 * H,), jnp.float32)
+
+        xproj = (x.astype(self.dtype) @ wih.astype(self.dtype)).astype(jnp.float32) + b
+        xproj = jnp.swapaxes(xproj, 0, 1)                      # (T, B, 4H)
+        t_idx = jnp.arange(T)[:, None]
+        if self.reverse:
+            xproj = jnp.flip(xproj, axis=0)
+            # After flipping, a row's valid region starts at T - length.
+            valid = t_idx >= (T - lengths)[None, :]
+        else:
+            valid = t_idx < lengths[None, :]
+        hs = _lstm_scan(xproj, whh, valid)
+        if self.reverse:
+            hs = jnp.flip(hs, axis=0)
+        out = jnp.swapaxes(hs, 0, 1)                           # (B, T, H)
+        mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+        return jnp.where(mask, out, 0.0).astype(self.dtype)
+
+
+def _lstm_bias_init(key, shape, dtype=jnp.float32):
+    H = shape[0] // 4
+    b = jnp.zeros(shape, dtype)
+    return b.at[H : 2 * H].set(1.0)
+
+
+class ConvSubsampler(nn.Module):
+    """Strided 2-D conv stack over (time, freq); reduces time by prod(strides)."""
+
+    cfg: BiLSTMEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, feat_len: jax.Array):
+        x = feats[..., None].astype(self.dtype)                # (B, T, F, 1)
+        lengths = feat_len
+        for ch in self.cfg.conv_channels:
+            x = nn.Conv(ch, kernel_size=self.cfg.conv_kernel,
+                        strides=self.cfg.conv_stride, padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.relu(x)
+            lengths = -(-lengths // self.cfg.conv_stride[0])   # ceil div (SAME)
+        B, T, F, C = x.shape
+        x = x.reshape(B, T, F * C)
+        mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+        return jnp.where(mask, x, 0.0), lengths
+
+
+class BiLSTMEncoder(nn.Module):
+    """conv subsampling + stacked BiLSTM; returns (B, T', 2H) states + lengths."""
+
+    cfg: BiLSTMEncoderConfig
+    dtype: Any = jnp.float32
+
+    def subsampled_len(self, feat_len: jax.Array) -> jax.Array:
+        lengths = feat_len
+        for _ in self.cfg.conv_channels:
+            lengths = -(-lengths // self.cfg.conv_stride[0])
+        return lengths
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, feat_len: jax.Array,
+                 train: bool = False):
+        x, lengths = ConvSubsampler(self.cfg, self.dtype)(feats, feat_len)
+        H = self.cfg.hidden_dim
+        for layer in range(self.cfg.num_layers):
+            fwd = LSTMDirection(H, reverse=False, dtype=self.dtype,
+                                name=f"lstm{layer}_fwd")(x, lengths)
+            bwd = LSTMDirection(H, reverse=True, dtype=self.dtype,
+                                name=f"lstm{layer}_bwd")(x, lengths)
+            x = jnp.concatenate([fwd, bwd], axis=-1)
+            if self.cfg.dropout > 0:
+                x = nn.Dropout(self.cfg.dropout, deterministic=not train)(x)
+        return x, lengths

@@ -1,0 +1,154 @@
+"""Train state + optimizer + loss assembly (SURVEY.md §2.1 'Training driver').
+
+The entire forward+loss+grad+update is ONE jitted function (SURVEY.md §3.1):
+frontend -> encoder -> CTC/CE losses -> grads (ICI all-reduce implicit in the
+sharded jit) -> optax adamw update.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from pytorch_asr_tpu.configs.base import ExperimentConfig, OptimConfig
+from pytorch_asr_tpu.data.tokenizer import CharTokenizer
+from pytorch_asr_tpu.frontend import features
+from pytorch_asr_tpu.models.asr_model import ASRModel
+from pytorch_asr_tpu.ops import ctc_loss, make_decoder_io, smoothed_ce_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def lr_schedule(cfg: OptimConfig):
+    """Linear warmup then inverse-sqrt decay (Noam-style)."""
+
+    def fn(step):
+        step = jnp.maximum(step, 1).astype(jnp.float32)
+        warm = cfg.peak_lr * step / cfg.warmup_steps
+        decay = cfg.peak_lr * jnp.sqrt(cfg.warmup_steps / step)
+        return jnp.where(step < cfg.warmup_steps, warm, decay)
+
+    return fn
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adamw(lr_schedule(cfg), b1=cfg.b1, b2=cfg.b2,
+                    weight_decay=cfg.weight_decay),
+    )
+
+
+def build_model(cfg: ExperimentConfig, tokenizer: CharTokenizer | None = None) -> ASRModel:
+    tokenizer = tokenizer or CharTokenizer()
+    return ASRModel(cfg.frontend, cfg.model, tokenizer.vocab_size)
+
+
+def init_train_state(cfg: ExperimentConfig, model: ASRModel,
+                     sample_batch: dict[str, Any]) -> TrainState:
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    init_rng, state_rng = jax.random.split(rng)
+    tok = CharTokenizer()
+    dec_in, _, _ = make_decoder_io(
+        jnp.asarray(sample_batch["tokens"]), jnp.asarray(sample_batch["token_len"]),
+        tok.sos_id, tok.eos_id)
+    params = model.init(
+        init_rng,
+        jnp.asarray(sample_batch["audio"]),
+        jnp.asarray(sample_batch["audio_len"]),
+        targets=dec_in if cfg.model.decoder is not None else None,
+        target_len=jnp.asarray(sample_batch["token_len"]) + 1
+        if cfg.model.decoder is not None else None,
+        train=False,
+    )["params"]
+    tx = make_optimizer(cfg.train.optim)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=state_rng,
+    )
+
+
+def compute_losses(cfg: ExperimentConfig, model: ASRModel, params, batch,
+                   rng, train: bool):
+    """Forward + CTC/CE/joint loss.  Returns (scalar loss, aux dict)."""
+    tok = CharTokenizer()
+    tokens = batch["tokens"]
+    token_len = batch["token_len"]
+    need_las = cfg.model.decoder is not None
+    if need_las:
+        dec_in, dec_out, dec_len = make_decoder_io(tokens, token_len,
+                                                   tok.sos_id, tok.eos_id)
+    else:
+        dec_in = dec_out = dec_len = None
+    out = model.apply(
+        {"params": params}, batch["audio"], batch["audio_len"],
+        targets=dec_in, target_len=dec_len, train=train,
+        rngs={"dropout": rng} if train else None,
+    )
+    aux: dict[str, Any] = {"enc_len": out["enc_len"]}
+    lam = cfg.model.ctc_weight
+    loss = jnp.float32(0.0)
+    valid = (batch["audio_len"] > 0)
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    if lam > 0.0:
+        per_utt = ctc_loss(out["ctc_logits"], out["enc_len"], tokens, token_len)
+        denom = jnp.maximum(token_len.astype(jnp.float32), 1.0)
+        ctc = jnp.sum(per_utt / denom * valid) / n_valid
+        aux["ctc_loss"] = ctc
+        loss = loss + lam * ctc
+    if need_las and lam < 1.0:
+        # Zero out padded rows: their dec_len is 1 (the eos slot) but enc is
+        # garbage; mask via valid.
+        dec_len_m = jnp.where(valid, dec_len, 0)
+        ce = smoothed_ce_loss(out["dec_logits"], dec_out, dec_len_m,
+                              cfg.model.decoder.label_smoothing)
+        aux["ce_loss"] = ce
+        loss = loss + (1.0 - lam) * ce
+    aux["loss"] = loss
+    return loss, aux
+
+
+def make_train_step(cfg: ExperimentConfig, model: ASRModel):
+    tx = make_optimizer(cfg.train.optim)
+
+    def train_step(state: TrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            return compute_losses(cfg, model, params, batch, step_rng, train=True)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        aux["lr"] = lr_schedule(cfg.train.optim)(state.step)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt, rng=rng)
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_step(cfg: ExperimentConfig, model: ASRModel):
+    """Greedy-decode eval step: returns packed hyp ids + lengths."""
+    from pytorch_asr_tpu.decoding.greedy import greedy_ctc
+
+    def eval_step(params, batch):
+        out = model.apply({"params": params}, batch["audio"], batch["audio_len"],
+                          train=False)
+        ids, n = greedy_ctc(out["ctc_logits"], out["enc_len"])
+        return ids, n
+
+    return eval_step

@@ -1,0 +1,23 @@
+"""Test env: force JAX onto CPU with 8 virtual devices (SURVEY.md §4.5).
+
+The jaxtyping pytest plugin imports jax BEFORE conftest runs, so setting
+JAX_PLATFORMS in os.environ here is too late for jax.config's env snapshot.
+Backends initialize lazily, though, so overriding via jax.config.update still
+works -- as long as no test device has been touched yet.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual-CPU backend; a real backend was initialized "
+    "before conftest could redirect it"
+)
