@@ -1,0 +1,6 @@
+"""Decoders: greedy CTC, prefix beam + LM fusion, attention/joint beam, WER."""
+
+from pytorch_asr_tpu.decoding.greedy import greedy_ctc
+from pytorch_asr_tpu.decoding.wer import corpus_cer, corpus_wer, edit_distance
+
+__all__ = ["corpus_cer", "corpus_wer", "edit_distance", "greedy_ctc"]

@@ -92,6 +92,18 @@ def _lstm_bias_init(key, shape, dtype=jnp.float32):
     return b.at[H : 2 * H].set(1.0)
 
 
+def conv_out_len(length, kernel: int, stride: int):
+    """Valid output length for a strided conv with fixed symmetric padding.
+
+    flax's "SAME" splits padding based on the padded input length, which makes
+    outputs depend on how much trailing padding a batch carries.  We instead pad
+    a fixed p = (kernel-1)//2 on both sides, so valid positions are invariant to
+    padding (tested by test_encoder_padding_invariance).
+    """
+    p = (kernel - 1) // 2
+    return jnp.maximum((length + 2 * p - kernel) // stride + 1, 0)
+
+
 class ConvSubsampler(nn.Module):
     """Strided 2-D conv stack over (time, freq); reduces time by prod(strides)."""
 
@@ -102,16 +114,22 @@ class ConvSubsampler(nn.Module):
     def __call__(self, feats: jax.Array, feat_len: jax.Array):
         x = feats[..., None].astype(self.dtype)                # (B, T, F, 1)
         lengths = feat_len
+        kt, kf = self.cfg.conv_kernel
+        pt, pf = (kt - 1) // 2, (kf - 1) // 2
         for ch in self.cfg.conv_channels:
             x = nn.Conv(ch, kernel_size=self.cfg.conv_kernel,
-                        strides=self.cfg.conv_stride, padding="SAME",
+                        strides=self.cfg.conv_stride,
+                        padding=((pt, pt), (pf, pf)),
                         dtype=self.dtype)(x)
             x = nn.relu(x)
-            lengths = -(-lengths // self.cfg.conv_stride[0])   # ceil div (SAME)
+            lengths = conv_out_len(lengths, kt, self.cfg.conv_stride[0])
+            # Re-mask every layer: conv bias + relu make padded frames nonzero,
+            # and the next strided conv would read them.
+            mask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])
+            x = jnp.where(mask[..., None, None], x, 0.0)
         B, T, F, C = x.shape
         x = x.reshape(B, T, F * C)
-        mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
-        return jnp.where(mask, x, 0.0), lengths
+        return x, lengths
 
 
 class BiLSTMEncoder(nn.Module):
@@ -123,7 +141,8 @@ class BiLSTMEncoder(nn.Module):
     def subsampled_len(self, feat_len: jax.Array) -> jax.Array:
         lengths = feat_len
         for _ in self.cfg.conv_channels:
-            lengths = -(-lengths // self.cfg.conv_stride[0])
+            lengths = conv_out_len(lengths, self.cfg.conv_kernel[0],
+                                   self.cfg.conv_stride[0])
         return lengths
 
     @nn.compact

@@ -55,15 +55,20 @@ class TCNEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     def subsampled_len(self, feat_len: jax.Array) -> jax.Array:
-        return -(-feat_len // self.cfg.subsample)
+        from pytorch_asr_tpu.models.encoder_bilstm import conv_out_len
+
+        return conv_out_len(feat_len, 2 * self.cfg.subsample, self.cfg.subsample)
 
     @nn.compact
     def __call__(self, feats: jax.Array, feat_len: jax.Array,
                  train: bool = False):
         c = self.cfg
+        k = 2 * c.subsample
+        p = (k - 1) // 2
         x = feats.astype(self.dtype)
-        x = nn.Conv(c.channels, kernel_size=(2 * c.subsample,),
-                    strides=(c.subsample,), padding="SAME", dtype=self.dtype)(x)
+        # Fixed symmetric padding: length-invariant valid outputs (see conv_out_len).
+        x = nn.Conv(c.channels, kernel_size=(k,),
+                    strides=(c.subsample,), padding=((p, p),), dtype=self.dtype)(x)
         x = nn.relu(x)
         lengths = self.subsampled_len(feat_len)
         x = _mask_time(x, lengths)

@@ -1,0 +1,62 @@
+"""Checkpoint/resume via orbax (SURVEY.md §2.1 'Checkpoint/resume', §3.5, §5.4).
+
+Reference: ``torch.save``/``torch.load`` pickles.  Here: orbax CheckpointManager
+with sharding-aware restore.  Parity checkpoints record config name, tokenizer
+vocab, step and RNG so WER comparisons are reproducible (§5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from pytorch_asr_tpu.configs.base import ExperimentConfig
+from pytorch_asr_tpu.training.state import TrainState
+
+
+def _meta(cfg: ExperimentConfig) -> dict[str, Any]:
+    return {
+        "config_name": cfg.name,
+        "config": dataclasses.asdict(cfg),
+        "vocab": "char_v1",
+        "format_version": 1,
+    }
+
+
+class CheckpointManager:
+    def __init__(self, cfg: ExperimentConfig, directory: str | None = None) -> None:
+        self.cfg = cfg
+        self.directory = os.path.abspath(directory or cfg.train.checkpoint_dir)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=cfg.train.keep_checkpoints, create=True),
+        )
+        meta_path = os.path.join(self.directory, "experiment.json")
+        if not os.path.exists(meta_path):
+            with open(meta_path, "w") as fh:
+                json.dump(_meta(cfg), fh, indent=2, default=str)
+
+    def save(self, state: TrainState) -> None:
+        self._mgr.save(int(state.step), args=ocp.args.StandardSave(state))
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, target: TrainState, step: int | None = None) -> TrainState:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,131 @@
+"""Training driver (SURVEY.md §2.1 'Training driver', §3.1).
+
+Host loop: pull a bucketed batch, device_put it sharded over the 'data' mesh
+axis, call the ONE jitted train_step (frontend -> encoder -> losses -> grads ->
+update), periodically greedy-eval WER, checkpoint, and log JSONL metrics.  The
+host/device boundary is crossed exactly once per step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from pytorch_asr_tpu.configs.base import ExperimentConfig
+from pytorch_asr_tpu.data import BucketedDataset, CharTokenizer, build_dataset
+from pytorch_asr_tpu.decoding.wer import corpus_wer
+from pytorch_asr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from pytorch_asr_tpu.training.checkpoint import CheckpointManager
+from pytorch_asr_tpu.training.metrics import MetricsLogger, Throughput
+from pytorch_asr_tpu.training.state import (
+    TrainState,
+    build_model,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        dataset: BucketedDataset | None = None,
+        eval_dataset: BucketedDataset | None = None,
+        metrics_path: str | None = None,
+        checkpoint_dir: str | None = None,
+        enable_checkpoints: bool = True,
+    ) -> None:
+        self.cfg = cfg
+        self.tokenizer = CharTokenizer()
+        self.dataset = dataset or build_dataset(cfg.data, cfg.frontend.sample_rate)
+        self.eval_dataset = eval_dataset or self.dataset
+        self.mesh = make_mesh(cfg.mesh, batch_size=cfg.data.batch_size)
+        self.model = build_model(cfg, self.tokenizer)
+        self.metrics = MetricsLogger(metrics_path, stdout=True)
+        self.throughput = Throughput(num_chips=self.mesh.devices.size)
+        self._ckpt = (CheckpointManager(cfg, checkpoint_dir)
+                      if enable_checkpoints else None)
+
+        sample = next(iter(self.dataset.epoch_batches(seed=0)))
+        self.state: TrainState = init_train_state(cfg, self.model, sample)
+        self.state = self.state.replace(
+            params=shard_params(self.mesh, self.state.params),
+            opt_state=shard_params(self.mesh, self.state.opt_state),
+        )
+        if self._ckpt is not None and self._ckpt.latest_step() is not None:
+            self.state = self._ckpt.restore(self.state)
+            self.metrics.log("restore", step=int(self.state.step))
+        self._train_step = jax.jit(make_train_step(cfg, self.model), donate_argnums=0)
+        self._eval_step = jax.jit(make_eval_step(cfg, self.model))
+
+    # ------------------------------------------------------------------ train
+    def train(self, num_steps: int, batches: Iterator[dict] | None = None) -> dict:
+        cfg = self.cfg
+        it = batches or self.dataset.repeat_batches(seed=cfg.data.shuffle_seed)
+        sr = cfg.frontend.sample_rate
+        last = {}
+        self.throughput.reset()
+        t_step0 = time.perf_counter()
+        for _ in range(num_steps):
+            host_batch = next(it)
+            batch = shard_batch(self.mesh, host_batch)
+            self.state, aux = self._train_step(self.state, batch)
+            self.throughput.update(float(host_batch["audio_len"].sum()) / sr)
+            step = int(self.state.step)
+            if step % cfg.train.log_every == 0 or step == 1:
+                aux_host = {k: float(v) for k, v in aux.items()
+                            if np.ndim(v) == 0}
+                tp = self.throughput.value()
+                last = {"step": step, **aux_host, **tp}
+                self.metrics.log("train", **last)
+                self.throughput.reset()
+            if self._ckpt is not None and step % cfg.train.checkpoint_every == 0:
+                self._ckpt.save(self.state)
+        last["wall_s"] = time.perf_counter() - t_step0
+        if self._ckpt is not None:
+            self._ckpt.save(self.state)
+            self._ckpt.wait()
+        return last
+
+    # ------------------------------------------------------------------- eval
+    def decode_eval(self, max_batches: int | None = None) -> dict:
+        """Run the decode method named by cfg.decode over the eval set."""
+        method = self.cfg.decode.method
+        if method == "greedy":
+            return self.evaluate(max_batches=max_batches)
+        from pytorch_asr_tpu.decoding.driver import decode_dataset
+
+        return decode_dataset(self, max_batches=max_batches)
+
+    def evaluate(self, max_batches: int | None = None) -> dict:
+        """Greedy-decode WER over the eval dataset."""
+        refs: list[str] = []
+        hyps: list[str] = []
+        t0 = time.perf_counter()
+        audio_sec = 0.0
+        for i, host_batch in enumerate(self.eval_dataset.epoch_batches(seed=0)):
+            if max_batches is not None and i >= max_batches:
+                break
+            batch = shard_batch(self.mesh, host_batch)
+            ids, n = self._eval_step(self.state.params, batch)
+            ids, n = np.asarray(ids), np.asarray(n)
+            valid = host_batch["audio_len"] > 0
+            audio_sec += float(host_batch["audio_len"].sum()) / self.cfg.frontend.sample_rate
+            for b in np.where(valid)[0]:
+                hyps.append(self.tokenizer.decode(ids[b, : n[b]]))
+                refs.append(self.tokenizer.decode(
+                    host_batch["tokens"][b, : host_batch["token_len"][b]]))
+        wer = corpus_wer(refs, hyps)
+        dt = time.perf_counter() - t0
+        result = {
+            "wer": wer,
+            "num_utts": len(refs),
+            "decode_rtf": dt / max(audio_sec, 1e-9),
+            "step": int(self.state.step),
+        }
+        self.metrics.log("eval", **result)
+        return result

@@ -1,0 +1,100 @@
+"""End-to-end integration: BASELINE config 1 slice on the synthetic corpus
+(SURVEY.md §4.4) -- loss must drop and greedy WER must reach a real threshold.
+
+CPU-runnable by design (BASELINE.json config 1 is 'CPU-runnable').
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from pytorch_asr_tpu.configs import get_config
+from pytorch_asr_tpu.configs.base import (
+    BiLSTMEncoderConfig,
+    DataConfig,
+    FrontendConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from pytorch_asr_tpu.data import BucketedDataset, synthetic_corpus
+from pytorch_asr_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    cfg = get_config("ctc_bilstm_dev1h")
+    return dataclasses.replace(
+        cfg,
+        frontend=FrontendConfig(use_pallas=False),
+        data=DataConfig(
+            batch_size=4,
+            bucket_audio_lens=(40000,),
+            bucket_label_lens=(48,),
+            synthetic_num_utts=24,
+        ),
+        model=ModelConfig(
+            encoder=BiLSTMEncoderConfig(conv_channels=(8, 8), hidden_dim=96,
+                                        num_layers=2, dropout=0.0),
+            compute_dtype="float32",
+        ),
+        train=TrainConfig(
+            optim=OptimConfig(peak_lr=3e-3, warmup_steps=30, total_steps=400,
+                              grad_clip_norm=5.0),
+            log_every=50,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tiny_cfg):
+    corpus = synthetic_corpus(
+        tiny_cfg.data.synthetic_num_utts, tiny_cfg.frontend.sample_rate,
+        seed=0, min_words=1, max_words=3)
+    return BucketedDataset(
+        corpus, batch_size=tiny_cfg.data.batch_size,
+        bucket_audio_lens=tiny_cfg.data.bucket_audio_lens,
+        bucket_label_lens=tiny_cfg.data.bucket_label_lens)
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_cfg, tiny_data, tmp_path_factory):
+    ckpt_dir = str(tmp_path_factory.mktemp("ckpt"))
+    trainer = Trainer(tiny_cfg, dataset=tiny_data, checkpoint_dir=ckpt_dir)
+    first = trainer.train(num_steps=10)
+    rest = trainer.train(num_steps=290)
+    return trainer, first, rest, ckpt_dir
+
+
+def test_loss_decreases(trained):
+    _, first, rest, _ = trained
+    assert rest["ctc_loss"] < first["ctc_loss"] * 0.5, (first, rest)
+
+
+def test_wer_low_after_training(trained):
+    trainer, _, _, _ = trained
+    result = trainer.evaluate()
+    # the synthetic tone task is fully learnable; trained model should be
+    # far below chance (untrained WER is ~1.0)
+    assert result["wer"] < 0.3, result
+    assert result["num_utts"] == 24
+
+
+def test_checkpoint_resume(trained, tiny_cfg, tiny_data):
+    trainer, _, _, ckpt_dir = trained
+    step = int(trainer.state.step)
+    resumed = Trainer(tiny_cfg, dataset=tiny_data, checkpoint_dir=ckpt_dir)
+    assert int(resumed.state.step) == step
+    # params actually restored (not re-initialized)
+    import jax
+
+    a = jax.tree.leaves(trainer.state.params)[0]
+    b = jax.tree.leaves(resumed.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_throughput_metric_emitted(trained):
+    _, _, rest, _ = trained
+    assert "audio_seconds_per_sec_per_chip" in rest
+    assert rest["audio_seconds_per_sec_per_chip"] > 0
