@@ -1,0 +1,95 @@
+"""Headline benchmark: CTC conv+BiLSTM training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "train_audio_seconds_per_sec_per_chip", "value": N,
+   "unit": "audio_s/s/chip", "vs_baseline": N}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.json:13
+"published": {}), so the denominator is a literature-anchored estimate of a
+2018-2021 PyTorch DS2-class trainer on one V100-class GPU: ~50 audio-seconds
+of speech consumed per wall-second (deepspeech.pytorch-era epoch timings on
+LibriSpeech 960h).  BASELINE.json:5 targets >= 3x that per chip, i.e.
+vs_baseline >= 3.0.  Replace with measured numbers if /root/reference appears.
+
+Run: plain `python bench.py` from /root/repo (axon TPU active).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_S_PER_S = 50.0   # literature anchor, see module docstring
+
+BATCH = 16
+AUDIO_SEC = 10.0
+SAMPLE_RATE = 16000
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def build():
+    import jax
+
+    from pytorch_asr_tpu.configs import get_config
+    from pytorch_asr_tpu.configs.base import DataConfig, FrontendConfig
+    from pytorch_asr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from pytorch_asr_tpu.training.state import (
+        build_model, init_train_state, make_train_step)
+
+    A = int(AUDIO_SEC * SAMPLE_RATE)
+    L = 256
+    cfg = get_config("ctc_bilstm_dev1h")
+    cfg = dataclasses.replace(
+        cfg,
+        frontend=FrontendConfig(use_pallas=jax.default_backend() == "tpu"),
+        data=DataConfig(batch_size=BATCH, bucket_audio_lens=(A,),
+                        bucket_label_lens=(L,)),
+    )
+    rng = np.random.default_rng(0)
+    host_batch = {
+        "audio": (rng.standard_normal((BATCH, A)) * 0.1).astype(np.float32),
+        "audio_len": np.full((BATCH,), A, np.int32),
+        "tokens": rng.integers(1, 28, size=(BATCH, L)).astype(np.int32),
+        "token_len": np.full((BATCH,), 200, np.int32),
+    }
+    mesh = make_mesh(cfg.mesh, batch_size=BATCH)
+    model = build_model(cfg)
+    state = init_train_state(cfg, model, host_batch)
+    state = state.replace(params=shard_params(mesh, state.params),
+                          opt_state=shard_params(mesh, state.opt_state))
+    batch = shard_batch(mesh, host_batch)
+    step_fn = jax.jit(make_train_step(cfg, model), donate_argnums=0)
+    return state, batch, step_fn, mesh
+
+
+def main() -> None:
+    import jax
+
+    state, batch, step_fn, mesh = build()
+    for _ in range(WARMUP_STEPS):
+        state, aux = step_fn(state, batch)
+    jax.block_until_ready(aux["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, aux = step_fn(state, batch)
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+
+    chips = mesh.devices.size
+    audio_sec = MEASURE_STEPS * BATCH * AUDIO_SEC
+    value = audio_sec / dt / chips
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Pallas framed-STFT kernel over HBM-resident audio (SURVEY.md §2.1 frontend row).
+
+The reference computes features on host via librosa/torchaudio C++.  The jnp
+path (frontend/features.py) materializes overlapped frames in HBM -- a ~3.2x
+memory amplification at hop=160/n_fft=512.  This kernel instead:
+
+  * keeps the raw waveform in HBM and DMAs only the ~21k-sample span each
+    128-frame block needs into VMEM;
+  * builds the 128 overlapped frames in VMEM (dynamic-slice row copies);
+  * computes the DFT as two MXU matmuls against precomputed windowed
+    cos/sin bases (frames @ W == windowed rDFT), then the mel projection as a
+    third matmul, then log -- one fused pass, no frame tensor ever in HBM.
+
+Layout: frame block 128 x n_fft(512); freq bins padded 257->384 lanes; mel
+output padded 80->128 lanes.  All matmuls are (128,512)@(512,384) and
+(128,384)@(384,128) -- native MXU shapes.
+
+Parity: test_stft_pallas.py checks against frontend.features.log_mel (itself
+checked against numpy/torch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_asr_tpu.configs.base import FrontendConfig
+from pytorch_asr_tpu.frontend import features
+
+FRAME_BLOCK = 128      # frames per kernel invocation
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
+@functools.lru_cache(maxsize=8)
+def _constants(cfg: FrontendConfig):
+    """Precomputed windowed DFT bases and padded mel matrix (host, cached)."""
+    n_fft = cfg.n_fft
+    n_freq = n_fft // 2 + 1
+    f_pad = _round_up(n_freq, LANE)                 # 384 for n_fft=512
+    m_pad = _round_up(cfg.n_mels, LANE)             # 128 for 80 mels
+    win = np.zeros(n_fft, np.float32)
+    win[: cfg.win_length] = features.hann_window(cfg.win_length)
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_freq)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    wc = np.zeros((n_fft, f_pad), np.float32)
+    ws = np.zeros((n_fft, f_pad), np.float32)
+    wc[:, :n_freq] = np.cos(ang) * win[:, None]
+    ws[:, :n_freq] = np.sin(ang) * win[:, None]
+    mel = np.zeros((f_pad, m_pad), np.float32)
+    mel[:n_freq, : cfg.n_mels] = features.mel_filterbank(cfg)
+    return wc, ws, mel
+
+
+def _stft_kernel(audio_ref, wc_ref, ws_ref, mel_ref, out_ref,
+                 chunk_ref, frames_ref, sem,
+                 *, hop: int, n_fft: int, span: int, a_pad: int,
+                 log_floor: float):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    # audio is flattened to 1-D (B*a_pad,) so the DMA source is a plain
+    # tile-aligned 1-D slice (row slicing a 2-D HBM memref trips Mosaic's
+    # sublane tiling rules); a_pad, the block start and span are all
+    # multiples of 1024.
+    start = b * a_pad + i * FRAME_BLOCK * hop
+    dma = pltpu.make_async_copy(
+        audio_ref.at[pl.ds(start, span)], chunk_ref, sem)
+    dma.start()
+    dma.wait()
+
+    # Frame r starts at r*hop.  Group frames by phase p = r mod n_phase
+    # (n_phase = 128/gcd(hop,128)): within a phase, consecutive frames are
+    # exactly n_phase*hop = a whole number of 128-lane tiles apart, so a
+    # phase's 8-frame group is ONE contiguous 1-D load reshaped to (8, row_w)
+    # whose frames sit at a fixed static lane offset -- no per-row shuffles.
+    # The resulting frame order is phase-major; stft_log_mel undoes it with a
+    # free XLA gather on the (tiny) mel output.
+    g = _gcd(hop, LANE)
+    n_phase = LANE // g
+    per_phase = FRAME_BLOCK // n_phase          # frames per phase (32)
+    row_w = n_phase * hop                       # 640: stride between same-phase frames
+    groups = per_phase // 8                     # 8-row groups per phase
+
+    for p in range(n_phase):
+        off = (p * hop) % LANE                  # static lane offset within a row
+        base = p * hop - off                    # tile-aligned flat start
+        for m in range(groups):
+            rows = []
+            for j in range(8):
+                lo = base + (8 * m + j) * row_w
+                rows.append(chunk_ref[lo : lo + row_w].reshape(1, row_w))
+            v = jnp.concatenate(rows, axis=0)   # (8, row_w), same phase
+            frames_ref[p * per_phase + 8 * m : p * per_phase + 8 * m + 8, :] = (
+                v[:, off : off + n_fft])        # one static shuffle per group
+
+    # fp32-accurate MXU matmuls: audio has high dynamic range and the jnp
+    # reference path (exact fp32 rFFT) is the parity oracle.
+    frames = frames_ref[:]
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, wc_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, ws_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    mel = jnp.dot(power, mel_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.log(jnp.maximum(mel, log_floor))
+
+
+def stft_log_mel(audio: jax.Array, cfg: FrontendConfig,
+                 interpret: bool = False) -> jax.Array:
+    """(B, A) f32 waveform -> (B, T, n_mels) log-mel via the Pallas kernel.
+
+    Output frames beyond the last full span are computed on zero padding; the
+    caller masks with feat_len exactly as in the jnp path.
+    """
+    B, A = audio.shape
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    T = features.max_frames(A, cfg)
+    if T == 0:
+        return jnp.zeros((B, 0, cfg.n_mels), jnp.float32)
+    nblk = pl.cdiv(T, FRAME_BLOCK)
+    # +LANE: the phase-aligned loads read n_fft+LANE lanes from the last row.
+    # 1-D HBM slices must align to the full (8,128) tile = 1024 elements.
+    span = _round_up((FRAME_BLOCK - 1) * hop + n_fft + LANE, 8 * LANE)
+    # Pad so every block's span slice is in range, then flatten to 1-D.
+    a_pad = _round_up(nblk * FRAME_BLOCK * hop + span, 8 * LANE)
+    audio_p = jnp.pad(audio.astype(jnp.float32),
+                      ((0, 0), (0, a_pad - A))).reshape(B * a_pad)
+
+    wc, ws, mel = _constants(cfg)
+    f_pad, m_pad = wc.shape[1], mel.shape[1]
+
+    kernel = functools.partial(
+        _stft_kernel, hop=hop, n_fft=n_fft, span=span, a_pad=a_pad,
+        log_floor=cfg.log_floor)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),          # audio stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # wc
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # ws
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # mel
+        ],
+        out_specs=pl.BlockSpec((1, FRAME_BLOCK, m_pad),
+                               lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nblk * FRAME_BLOCK, m_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((span,), jnp.float32),              # audio chunk (1-D)
+            pltpu.VMEM((FRAME_BLOCK, n_fft), jnp.float32), # frames
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(audio_p, jnp.asarray(wc), jnp.asarray(ws), jnp.asarray(mel))
+    # Kernel rows are phase-major within each 128-frame block; undo with a
+    # static gather (fused by XLA, negligible vs. the kernel).
+    g = _gcd(hop, LANE)
+    n_phase = LANE // g
+    per_phase = FRAME_BLOCK // n_phase
+    f = np.arange(FRAME_BLOCK)
+    perm = (f % n_phase) * per_phase + f // n_phase   # frame f -> kernel row
+    out = out.reshape(B, nblk, FRAME_BLOCK, m_pad)[:, :, perm, :]
+    out = out.reshape(B, nblk * FRAME_BLOCK, m_pad)
+    return out[:, :T, : cfg.n_mels]
+
+
+def log_mel_pallas(
+    audio: jax.Array,
+    audio_len: jax.Array,
+    cfg: FrontendConfig,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Drop-in replacement for frontend.features.log_mel (Pallas STFT path)."""
+    feats = stft_log_mel(audio, cfg, interpret=interpret)
+    feat_len = features.num_frames(audio_len, cfg)
+    mask = jnp.arange(feats.shape[1])[None, :] < feat_len[:, None]
+    feats = jnp.where(mask[..., None], feats, 0.0)
+    if cfg.normalize:
+        feats = features.normalize_features(feats, feat_len)
+    return feats, feat_len
