@@ -70,14 +70,18 @@ def main() -> None:
     import jax
 
     state, batch, step_fn, mesh = build()
+    # Warmup absorbs both compiles (the second fires when donated outputs
+    # re-enter with committed shardings).  Fetch the loss VALUE every step:
+    # through the remote-TPU tunnel block_until_ready returns optimistically,
+    # so only a real D2H read serializes against execution.
     for _ in range(WARMUP_STEPS):
         state, aux = step_fn(state, batch)
-    jax.block_until_ready(aux["loss"])
+        float(aux["loss"])
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, aux = step_fn(state, batch)
-    jax.block_until_ready(aux["loss"])
+        float(aux["loss"])
     dt = time.perf_counter() - t0
 
     chips = mesh.devices.size
