@@ -1,0 +1,271 @@
+"""Pallas CTC alpha-beta kernel (SURVEY.md §2.1 'CTC loss', §7.3 hard part #1).
+
+The reference uses ATen/cuDNN C++/CUDA CTC.  The jnp scan version (ops/ctc.py)
+is the correctness oracle but pays XLA's per-step scan overhead ~ O(T) kernel
+launches (~30-45 ms at B=16, T=250 on v5e).  Here the whole recurrence runs
+inside two Pallas kernels:
+
+  * forward: alpha recursion, time-chunked.  The grid iterates over T-chunks
+    (sequential on-core), BlockSpecs auto-pipeline the (Tc, B, S) log-prob
+    chunks HBM->VMEM, and the (B, S) alpha carry lives in persistent scratch.
+    All alphas stream back to HBM for the backward pass.
+  * backward: beta recursion with the grid walking chunks in reverse time
+    order, emitting w = exp(alpha + beta - logZ) (the state posteriors).
+
+Label-dependent gathers/scatters (ext-label log-prob gather, S->V posterior
+scatter, log-softmax) stay in XLA where they fuse; the kernels do only the
+sequential work XLA is bad at.  Lane layout: batch on sublanes, lattice states
+on lanes (S padded to 128); the s-1/s-2 shifts are static lane rolls.
+
+Parity: tests/test_ctc_pallas.py vs ops/ctc.py (itself vs torch.nn.CTCLoss).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_asr_tpu.ops.ctc import (
+    NEG_INF,
+    _extended_labels,
+    _skip_allowed,
+    _terminal_logz,
+)
+
+LANE = 128
+TIME_CHUNK = 32
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _shift_r(x, k, lane_iota):
+    """Shift lanes right by k (lattice s-k); vacated lanes -> NEG_INF."""
+    rolled = pltpu.roll(x, k, 1)
+    return jnp.where(lane_iota < k, NEG_INF, rolled)
+
+
+def _shift_l(x, k, lane_iota, s_pad):
+    rolled = pltpu.roll(x, s_pad - k, 1)
+    return jnp.where(lane_iota >= s_pad - k, NEG_INF, rolled)
+
+
+def _logsumexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m = jnp.maximum(m, NEG_INF)
+    tot = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
+    return jnp.maximum(tot, NEG_INF)
+
+
+def _fwd_kernel(logp_ref, skip_ref, len_ref, alphas_ref, final_ref,
+                alpha_sc, *, tc: int, s_pad: int):
+    i = pl.program_id(0)
+    B = len_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, s_pad), 1)
+    alpha = alpha_sc[:]
+    skip_add = skip_ref[:]                      # 0 where skip allowed else NEG_INF
+    lens = len_ref[:]                           # (B, 1)
+    for j in range(tc):
+        t = i * tc + j
+        logp_t = logp_ref[j]
+        stay = alpha
+        s1 = _shift_r(alpha, 1, lane)
+        s2 = _shift_r(alpha, 2, lane) + skip_add
+        anew = _logsumexp3(stay, s1, s2) + logp_t
+        anew = jnp.maximum(anew, NEG_INF)
+        alpha0 = jnp.where(lane < 2, logp_t, NEG_INF)
+        alpha = jnp.where(t == 0, alpha0,
+                          jnp.where(t < lens, anew, alpha))
+        alphas_ref[j] = alpha
+    alpha_sc[:] = alpha
+    final_ref[:] = alpha
+
+
+def _bwd_kernel(logp_ref, alphas_ref, skip_from_ref, beta_T_ref, len_ref,
+                logz_ref, w_ref, beta_sc, logp_next_sc,
+                *, tc: int, s_pad: int, n_chunks: int):
+    i = pl.program_id(0)
+    B = len_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, s_pad), 1)
+
+    @pl.when(i == 0)
+    def _():
+        beta_sc[:] = jnp.full((B, s_pad), NEG_INF)
+        logp_next_sc[:] = jnp.full((B, s_pad), NEG_INF)
+
+    beta = beta_sc[:]
+    logp_next = logp_next_sc[:]
+    skip_from = skip_from_ref[:]
+    beta_T = beta_T_ref[:]
+    lens = len_ref[:]
+    logz = logz_ref[:]
+    chunk = n_chunks - 1 - i
+    for j in reversed(range(tc)):
+        t = chunk * tc + j
+        logp_t = logp_ref[j]
+        term = beta + logp_next
+        stay = term
+        s1 = _shift_l(term, 1, lane, s_pad)
+        s2 = _shift_l(term, 2, lane, s_pad) + skip_from
+        recursed = _logsumexp3(stay, s1, s2)
+        beta = jnp.where(t == lens - 1, beta_T,
+                         jnp.where(t < lens - 1, recursed, beta))
+        gamma = alphas_ref[j] + beta - logz
+        w = jnp.exp(jnp.maximum(jnp.where(t < lens, gamma, NEG_INF), NEG_INF))
+        w_ref[j] = w
+        logp_next = logp_t
+    beta_sc[:] = beta
+    logp_next_sc[:] = logp_next
+
+
+def _pad_tbs(x, t_pad, s_pad, fill):
+    T, B, S = x.shape
+    return jnp.pad(x, ((0, t_pad - T), (0, 0), (0, s_pad - S)),
+                   constant_values=fill)
+
+
+def _prep_pallas(logits, logit_len, labels, label_len, blank):
+    """XLA-side prep shared by fwd/bwd: log-softmax, ext gather, masks."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)            # (B, T, V)
+    B, T, V = logp.shape
+    ext = _extended_labels(labels, blank)                 # (B, S)
+    skip = _skip_allowed(labels, label_len)               # (B, S) bool
+    S = ext.shape[1]
+    s_pad = _round_up(max(S, LANE), LANE)
+    t_pad = _round_up(T, TIME_CHUNK)
+    logp_tbs = jnp.take_along_axis(
+        jnp.swapaxes(logp, 0, 1), ext[None].astype(jnp.int32), axis=2)
+    valid_s = jnp.arange(S)[None, :] < 2 * label_len[:, None] + 1
+    logp_tbs = jnp.where(valid_s[None], logp_tbs, NEG_INF)
+    logp_tbs = _pad_tbs(logp_tbs, t_pad, s_pad, NEG_INF)  # (Tp, B, Sp)
+    skip_add = jnp.where(skip, 0.0, NEG_INF).astype(jnp.float32)
+    skip_add = jnp.pad(skip_add, ((0, 0), (0, s_pad - S)),
+                       constant_values=NEG_INF)
+    return logp, logp_tbs, ext, skip_add, s_pad, t_pad
+
+
+def _run_forward(logp_tbs, skip_add, logit_len, s_pad, t_pad):
+    B = logp_tbs.shape[1]
+    n_chunks = t_pad // TIME_CHUNK
+    kern = functools.partial(_fwd_kernel, tc=TIME_CHUNK, s_pad=s_pad)
+    alphas, final = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((TIME_CHUNK, B, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # skip_add
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # lens (B,1)
+        ],
+        out_specs=[
+            pl.BlockSpec((TIME_CHUNK, B, s_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, s_pad), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, B, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, s_pad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, s_pad), jnp.float32)],
+    )(logp_tbs, skip_add, logit_len.astype(jnp.int32)[:, None])
+    return alphas, final
+
+
+def _run_backward(logp_tbs, alphas, skip_add, beta_T, logit_len, logz,
+                  s_pad, t_pad):
+    B = logp_tbs.shape[1]
+    n_chunks = t_pad // TIME_CHUNK
+    # skip transitions s -> s+2 allowed iff arrival-skip allowed at s+2
+    skip_from = jnp.concatenate(
+        [skip_add[:, 2:], jnp.full((B, 2), NEG_INF, jnp.float32)], axis=1)
+    kern = functools.partial(_bwd_kernel, tc=TIME_CHUNK, s_pad=s_pad,
+                             n_chunks=n_chunks)
+    rev = lambda i: (n_chunks - 1 - i, 0, 0)  # noqa: E731
+    w = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((TIME_CHUNK, B, s_pad), rev),    # logp chunks, reversed
+            pl.BlockSpec((TIME_CHUNK, B, s_pad), rev),    # alpha chunks, reversed
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # skip_from
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # beta_T
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # lens
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # logz (B,1)
+        ],
+        out_specs=pl.BlockSpec((TIME_CHUNK, B, s_pad), rev),
+        out_shape=jax.ShapeDtypeStruct((t_pad, B, s_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((B, s_pad), jnp.float32),          # beta carry
+            pltpu.VMEM((B, s_pad), jnp.float32),          # logp_{t+1} carry
+        ],
+    )(logp_tbs, alphas, skip_from, beta_T,
+      logit_len.astype(jnp.int32)[:, None], logz[:, None])
+    return w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ctc_loss_pallas(logits, logit_len, labels, label_len, blank=0):
+    """Drop-in replacement for ops.ctc.ctc_loss running on Pallas TPU kernels."""
+    loss, _ = _forward_impl(logits, logit_len, labels, label_len, blank)
+    return loss
+
+
+def _forward_impl(logits, logit_len, labels, label_len, blank):
+    logp, logp_tbs, ext, skip_add, s_pad, t_pad = _prep_pallas(
+        logits, logit_len, labels, label_len, blank)
+    alphas, final = _run_forward(logp_tbs, skip_add, logit_len, s_pad, t_pad)
+    logz = _terminal_logz(final, label_len)
+    feasible = (logz > NEG_INF / 2) & (logit_len > 0)
+    loss = jnp.where(feasible, -logz, 0.0)
+    residuals = (logp, logp_tbs, alphas, skip_add, ext, logz, feasible,
+                 logit_len, label_len, s_pad, t_pad)
+    return loss, residuals
+
+
+def _fwd_rule(logits, logit_len, labels, label_len, blank):
+    return _forward_impl(logits, logit_len, labels, label_len, blank)
+
+
+def _bwd_rule(blank, residuals, g):
+    (logp, logp_tbs, alphas, skip_add, ext, logz, feasible,
+     logit_len, label_len, s_pad, t_pad) = residuals
+    B, T, V = logp.shape
+    S = ext.shape[1]
+    bidx = jnp.arange(B)
+    beta_T = jnp.full((B, s_pad), NEG_INF)
+    beta_T = beta_T.at[bidx, 2 * label_len].set(0.0)
+    beta_T = jnp.where(
+        (label_len > 0)[:, None]
+        & (jnp.arange(s_pad)[None, :] == jnp.maximum(2 * label_len - 1, 0)[:, None]),
+        0.0, beta_T)
+    logz_safe = jnp.where(feasible, logz, 0.0)
+    w = _run_backward(logp_tbs, alphas, skip_add, beta_T, logit_len,
+                      logz_safe, s_pad, t_pad)              # (Tp, B, Sp)
+    w = w[:T, :, :S] * feasible[None, :, None]
+    onehot = jax.nn.one_hot(ext, V, dtype=w.dtype)          # (B, S, V)
+    gamma_v = jnp.einsum("tbs,bsv->tbv", w, onehot,
+                         precision=jax.lax.Precision.HIGHEST)
+    p = jnp.exp(logp)                                       # (B, T, V)
+    t_valid = (jnp.arange(T)[None, :] < logit_len[:, None])[..., None]
+    grad = jnp.where(
+        t_valid,
+        p * jnp.sum(gamma_v, axis=-1).transpose(1, 0)[..., None]
+        - jnp.swapaxes(gamma_v, 0, 1),
+        0.0)
+    return grad * g[:, None, None], None, None, None
+
+
+ctc_loss_pallas.defvjp(_fwd_rule, _bwd_rule)
+
+
+def ctc_loss_auto(logits, logit_len, labels, label_len, blank=0):
+    """Pallas kernels on TPU, jnp scan elsewhere."""
+    from pytorch_asr_tpu.ops.ctc import ctc_loss
+
+    if jax.default_backend() == "tpu":
+        return ctc_loss_pallas(logits, logit_len, labels, label_len, blank)
+    return ctc_loss(logits, logit_len, labels, label_len, blank)

@@ -19,7 +19,8 @@ from pytorch_asr_tpu.configs.base import ExperimentConfig, OptimConfig
 from pytorch_asr_tpu.data.tokenizer import CharTokenizer
 from pytorch_asr_tpu.frontend import features
 from pytorch_asr_tpu.models.asr_model import ASRModel
-from pytorch_asr_tpu.ops import ctc_loss, make_decoder_io, smoothed_ce_loss
+from pytorch_asr_tpu.ops import make_decoder_io, smoothed_ce_loss
+from pytorch_asr_tpu.ops.ctc_pallas import ctc_loss_auto as ctc_loss
 
 
 class TrainState(struct.PyTreeNode):
