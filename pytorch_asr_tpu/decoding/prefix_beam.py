@@ -1,0 +1,201 @@
+"""Batched on-device CTC prefix beam search with LM shallow fusion.
+
+Replaces the reference's host Python/FST loop (SURVEY.md §2.1 'CTC prefix beam
+search' row -- the XL component; cf. FlexCTC, PAPERS.md).  Design:
+
+  * ALL state is fixed-shape device tensors over (batch B, beam K): prefix
+    token buffers, (p_blank, p_nonblank) in log space, rolling prefix hash,
+    LM context id, accumulated fusion score.  One ``lax.scan`` over time.
+  * Each step forms K stay-candidates + K*(V-1) extension-candidates,
+    merges duplicate prefixes by rolling hash (sort + segment-logsumexp over
+    contiguous equal-hash runs), and keeps the top-K by fused score.
+  * LM fusion reads a dense device-resident table P(c|ctx) built by
+    decoding.lm.tensorize -- no host round trips (SURVEY.md §2.2 KenLM row).
+
+Parity: tests vs prefix_beam_ref.py (host oracle) with and without LM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e30
+HASH_MULT = 1000003
+
+
+class BeamState(NamedTuple):
+    tokens: jax.Array      # (B, K, L) int32
+    length: jax.Array      # (B, K) int32
+    pb: jax.Array          # (B, K) f32 log P(prefix, ends blank)
+    pnb: jax.Array         # (B, K) f32 log P(prefix, ends non-blank)
+    lm_s: jax.Array        # (B, K) f32 accumulated fusion score
+    hash: jax.Array        # (B, K) int32 rolling prefix hash
+    ctx: jax.Array         # (B, K) int32 LM context id
+    last: jax.Array        # (B, K) int32 last char (-1 for empty)
+
+
+def _lse(a, b):
+    return jnp.logaddexp(a, b)
+
+
+def _init_state(B: int, K: int, L: int) -> BeamState:
+    return BeamState(
+        tokens=jnp.zeros((B, K, L), jnp.int32),
+        length=jnp.zeros((B, K), jnp.int32),
+        pb=jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones((B, 1)),
+        pnb=jnp.full((B, K), NEG_INF),
+        lm_s=jnp.zeros((B, K), jnp.float32),
+        hash=-(jnp.arange(K, dtype=jnp.int32) + 1)[None, :] * jnp.ones((B, 1), jnp.int32),
+        ctx=jnp.zeros((B, K), jnp.int32),
+        last=jnp.full((B, K), -1, jnp.int32),
+    )
+
+
+def _segment_logsumexp_sorted(vals, seg_start):
+    """Log-sum-exp over contiguous equal-hash runs; result on every member.
+
+    vals (B, N) sorted by hash; seg_start (B, N) bool marks run heads.
+    O(N^2) one-hot matmul -- N ~ 500, negligible next to the model forward.
+    """
+    B, N = vals.shape
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int32), axis=1) - 1     # (B, N)
+    same = seg_id[:, :, None] == seg_id[:, None, :]                  # (B, N, N)
+    m = jnp.max(jnp.where(same, vals[:, None, :], NEG_INF), axis=2)
+    m_safe = jnp.maximum(m, NEG_INF)
+    s = jnp.sum(jnp.where(same, jnp.exp(vals[:, None, :] - m_safe[:, :, None]), 0.0),
+                axis=2)
+    return jnp.maximum(m_safe + jnp.log(jnp.maximum(s, 1e-37)), NEG_INF)
+
+
+def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
+          lm_alpha, lm_beta, lm_order, K, L):
+    B = logp_t.shape[0]
+    nb = vocab - 1                                         # non-blank count
+    total = _lse(state.pb, state.pnb)                      # (B, K)
+
+    lp_blank = logp_t[:, None, blank]                      # (B, 1)
+    lp_last = jnp.take_along_axis(
+        logp_t[:, None, :].repeat(K, 1), jnp.maximum(state.last, 0)[..., None],
+        axis=2)[..., 0]                                    # (B, K)
+
+    # --- stay candidates (same prefix) -------------------------------------
+    stay_pb = total + lp_blank
+    stay_pnb = jnp.where(state.last >= 0, state.pnb + lp_last, NEG_INF)
+
+    # --- extension candidates (B, K, nb) -----------------------------------
+    chars = jnp.arange(1, vocab, dtype=jnp.int32)          # non-blank ids
+    lp_c = logp_t[:, None, 1:]                             # (B, 1, nb)
+    is_repeat = chars[None, None, :] == state.last[..., None]
+    base = jnp.where(is_repeat, state.pb[..., None], total[..., None])
+    ext_pnb = base + lp_c
+    full = state.length >= L
+    ext_pnb = jnp.where(full[..., None], NEG_INF, ext_pnb)
+    if lm_table is not None:
+        lm_row = lm_table[state.ctx]                       # (B, K, V)
+        lm_add = lm_alpha * lm_row[..., 1:] + lm_beta
+        ext_lm = state.lm_s[..., None] + lm_add
+        n_ctx = lm_table.shape[0]
+        ext_ctx = (state.ctx[..., None] * vocab + chars[None, None, :]) % n_ctx
+    else:
+        ext_lm = jnp.broadcast_to(state.lm_s[..., None], ext_pnb.shape)
+        ext_ctx = jnp.broadcast_to(state.ctx[..., None], ext_pnb.shape)
+    ext_hash = state.hash[..., None] * HASH_MULT + chars[None, None, :]
+
+    # --- flatten to N = K + K*nb candidates --------------------------------
+    N = K + K * nb
+    cand = {
+        "pb": jnp.concatenate([stay_pb, jnp.full((B, K * nb), NEG_INF)], 1),
+        "pnb": jnp.concatenate([stay_pnb, ext_pnb.reshape(B, -1)], 1),
+        "lm": jnp.concatenate([state.lm_s, ext_lm.reshape(B, -1)], 1),
+        "hash": jnp.concatenate([state.hash, ext_hash.reshape(B, -1)], 1),
+        "ctx": jnp.concatenate([state.ctx, ext_ctx.reshape(B, -1)], 1),
+        "last": jnp.concatenate(
+            [state.last, jnp.broadcast_to(chars[None, None, :],
+                                          (B, K, nb)).reshape(B, -1)], 1),
+        "parent": jnp.concatenate(
+            [jnp.arange(K, dtype=jnp.int32)[None].repeat(B, 0),
+             jnp.arange(K, dtype=jnp.int32)[None, :, None]
+             .repeat(nb, 2).reshape(1, -1).repeat(B, 0)], 1),
+        "append": jnp.concatenate(
+            [jnp.full((B, K), -1, jnp.int32),
+             jnp.broadcast_to(chars[None, None, :], (B, K, nb)).reshape(B, -1)], 1),
+    }
+
+    # --- merge duplicates by hash ------------------------------------------
+    order = jnp.argsort(cand["hash"], axis=1)
+    srt = {k: jnp.take_along_axis(v, order, axis=1) for k, v in cand.items()}
+    prev = jnp.concatenate([jnp.full((B, 1), -2147483647, jnp.int32),
+                            srt["hash"][:, :-1]], 1)
+    head = srt["hash"] != prev                             # (B, N) run heads
+    mpb = _segment_logsumexp_sorted(srt["pb"], head)
+    mpnb = _segment_logsumexp_sorted(srt["pnb"], head)
+    score = _lse(mpb, mpnb) + srt["lm"]
+    score = jnp.where(head, score, NEG_INF)                # leaders only
+
+    # --- top-K -------------------------------------------------------------
+    top_score, top_idx = jax.lax.top_k(score, K)           # (B, K)
+    take = lambda f: jnp.take_along_axis(srt[f], top_idx, axis=1)  # noqa: E731
+    new_pb = jnp.take_along_axis(mpb, top_idx, axis=1)
+    new_pnb = jnp.take_along_axis(mpnb, top_idx, axis=1)
+    parent = take("parent")
+    append = take("append")
+
+    parent_tokens = jnp.take_along_axis(
+        state.tokens, parent[..., None], axis=1)           # (B, K, L)
+    parent_len = jnp.take_along_axis(state.length, parent, axis=1)
+    pos = jnp.arange(L)[None, None, :] == parent_len[..., None]
+    ext_mask = (append >= 0)[..., None]
+    new_tokens = jnp.where(pos & ext_mask, append[..., None], parent_tokens)
+    new_len = parent_len + (append >= 0).astype(jnp.int32)
+
+    new_state = BeamState(
+        tokens=new_tokens, length=new_len, pb=new_pb, pnb=new_pnb,
+        lm_s=take("lm"), hash=take("hash"), ctx=take("ctx"), last=take("last"))
+
+    # frozen rows (t >= logit_len) keep their old state
+    keep = active[:, None]
+    merged = jax.tree.map(
+        lambda new, old: jnp.where(
+            keep.reshape((B,) + (1,) * (new.ndim - 1)).astype(bool), new, old),
+        new_state, state)
+    return merged
+
+
+@partial(jax.jit, static_argnames=("beam_size", "blank", "lm_alpha", "lm_beta",
+                                   "lm_order", "max_len"))
+def prefix_beam_search(
+    logits: jax.Array,           # (B, T, V)
+    logit_len: jax.Array,        # (B,)
+    beam_size: int = 16,
+    blank: int = 0,
+    lm_table: jax.Array | None = None,
+    lm_alpha: float = 0.0,
+    lm_beta: float = 0.0,
+    lm_order: int = 3,
+    max_len: int = 256,
+):
+    """Returns (tokens (B, L), lengths (B,), scores (B,)) -- best beam per row."""
+    B, T, V = logits.shape
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    K, L = beam_size, max_len
+    state = _init_state(B, K, L)
+    step = partial(_step, blank=blank, vocab=V, lm_table=lm_table,
+                   lm_alpha=lm_alpha, lm_beta=lm_beta, lm_order=lm_order,
+                   K=K, L=L)
+
+    def scan_fn(state, inp):
+        t, logp_t = inp
+        return step(state, logp_t, t < logit_len), None
+
+    state, _ = jax.lax.scan(
+        scan_fn, state, (jnp.arange(T), jnp.swapaxes(logp, 0, 1)))
+    final = _lse(state.pb, state.pnb) + state.lm_s
+    best = jnp.argmax(final, axis=1)                       # (B,)
+    tokens = jnp.take_along_axis(state.tokens, best[:, None, None], axis=1)[:, 0]
+    lengths = jnp.take_along_axis(state.length, best[:, None], axis=1)[:, 0]
+    scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+    return tokens, lengths, scores
