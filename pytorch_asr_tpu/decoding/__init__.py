@@ -1,6 +1,9 @@
 """Decoders: greedy CTC, prefix beam + LM fusion, attention/joint beam, WER."""
 
+from pytorch_asr_tpu.decoding.attention_beam import attention_beam_search
 from pytorch_asr_tpu.decoding.greedy import greedy_ctc
+from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
 from pytorch_asr_tpu.decoding.wer import corpus_cer, corpus_wer, edit_distance
 
-__all__ = ["corpus_cer", "corpus_wer", "edit_distance", "greedy_ctc"]
+__all__ = ["attention_beam_search", "corpus_cer", "corpus_wer",
+           "edit_distance", "greedy_ctc", "prefix_beam_search"]

@@ -1,0 +1,111 @@
+"""Decoding driver (SURVEY.md layer L5'/T5, §3.2).
+
+Batch loop over the eval set dispatching to the configured decoder
+(prefix_beam | attention_beam | joint_beam); computes corpus WER/CER and
+decode RTF.  Log-probs never leave the device until final token ids.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_asr_tpu.decoding.attention_beam import attention_beam_search
+from pytorch_asr_tpu.decoding.lm import read_arpa, tensorize
+from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+from pytorch_asr_tpu.decoding.wer import corpus_cer, corpus_wer
+
+
+def _load_lm_table(cfg):
+    if not cfg.decode.lm_path:
+        return None
+    lm = read_arpa(cfg.decode.lm_path)
+    return jnp.asarray(tensorize(lm))
+
+
+def make_decode_fn(trainer, lm_table=None):
+    """Builds a jitted (params, batch) -> (tokens, lengths) decode step."""
+    cfg = trainer.cfg
+    model = trainer.model
+    method = cfg.decode.method
+    tok = trainer.tokenizer
+
+    if method == "prefix_beam":
+        @jax.jit
+        def decode_fn(params, batch):
+            out = model.apply({"params": params}, batch["audio"],
+                              batch["audio_len"], train=False)
+            toks, lens, _ = prefix_beam_search(
+                out["ctc_logits"], out["enc_len"],
+                beam_size=cfg.decode.beam_size,
+                lm_table=lm_table,
+                lm_alpha=cfg.decode.lm_alpha if lm_table is not None else 0.0,
+                lm_beta=cfg.decode.lm_beta if lm_table is not None else 0.0,
+                max_len=cfg.decode.max_decode_len)
+            return toks, lens
+
+        return decode_fn
+
+    if method in ("attention_beam", "joint_beam"):
+        ctc_weight = cfg.decode.joint_ctc_weight if method == "joint_beam" else 0.0
+
+        @jax.jit
+        def decode_fn(params, batch):
+            out = model.apply({"params": params}, batch["audio"],
+                              batch["audio_len"], train=False)
+            toks, lens, _ = attention_beam_search(
+                model, params, out["enc"], out["enc_len"],
+                tok.sos_id, tok.eos_id,
+                beam_size=cfg.decode.beam_size,
+                max_len=cfg.decode.max_decode_len,
+                length_norm=cfg.decode.length_norm,
+                ctc_logits=out["ctc_logits"] if ctc_weight > 0 else None,
+                ctc_weight=ctc_weight,
+                lm_table=lm_table,
+                lm_alpha=cfg.decode.lm_alpha if lm_table is not None else 0.0)
+            return toks, lens
+
+        return decode_fn
+
+    raise ValueError(f"unknown decode method {method!r}")
+
+
+def decode_dataset(trainer, max_batches: int | None = None) -> dict:
+    """Full-dataset decode with the configured method; returns metrics."""
+    cfg = trainer.cfg
+    lm_table = _load_lm_table(cfg)
+    decode_fn = make_decode_fn(trainer, lm_table)
+    tok = trainer.tokenizer
+    refs, hyps = [], []
+    audio_sec = 0.0
+    t0 = time.perf_counter()
+    for i, host_batch in enumerate(trainer.eval_dataset.epoch_batches(seed=0)):
+        if max_batches is not None and i >= max_batches:
+            break
+        from pytorch_asr_tpu.parallel.mesh import shard_batch
+
+        batch = shard_batch(trainer.mesh, host_batch)
+        toks, lens = decode_fn(trainer.state.params, batch)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        valid = host_batch["audio_len"] > 0
+        audio_sec += float(host_batch["audio_len"].sum()) / cfg.frontend.sample_rate
+        for b in np.where(valid)[0]:
+            hyps.append(tok.decode(toks[b, : lens[b]]))
+            refs.append(tok.decode(
+                host_batch["tokens"][b, : host_batch["token_len"][b]]))
+    dt = time.perf_counter() - t0
+    result = {
+        "method": cfg.decode.method,
+        "wer": corpus_wer(refs, hyps),
+        "cer": corpus_cer(refs, hyps),
+        "num_utts": len(refs),
+        "decode_rtf": dt / max(audio_sec, 1e-9),
+        "step": int(trainer.state.step),
+    }
+    trainer.metrics.log("decode", **result)
+    return result
