@@ -24,28 +24,59 @@ def _mask_time(x: jax.Array, lengths: jax.Array) -> jax.Array:
 
 
 class TCNBlock(nn.Module):
-    """Residual block: LN -> dilated conv -> GLU -> pointwise -> dropout -> +res."""
+    """Residual block: LN -> dilated conv -> GLU -> pointwise -> dropout -> +res.
+
+    Parameters are explicit arrays so the XLA path (training, autodiff) and the
+    fused Pallas kernel (inference hot path, ops/dilated_conv_pallas.py) share
+    identical weights.
+    """
 
     channels: int
     kernel_size: int
     dilation: int
     dropout: float
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
-    @nn.compact
-    def __call__(self, x: jax.Array, lengths: jax.Array, train: bool) -> jax.Array:
-        res = x
-        y = nn.LayerNorm(dtype=self.dtype)(x)
-        # GLU: double-width conv, gate half modulates the linear half.
-        y = nn.Conv(2 * self.channels, kernel_size=(self.kernel_size,),
-                    kernel_dilation=(self.dilation,), padding="SAME",
-                    dtype=self.dtype)(y)
+    def setup(self):
+        C, K = self.channels, self.kernel_size
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        self.ln_scale = self.param("ln_scale", nn.initializers.ones, (C,), jnp.float32)
+        self.ln_bias = self.param("ln_bias", zeros, (C,), jnp.float32)
+        self.w_conv = self.param("w_conv", init, (K, C, 2 * C), jnp.float32)
+        self.b_conv = self.param("b_conv", zeros, (2 * C,), jnp.float32)
+        self.w_point = self.param("w_point", init, (C, C), jnp.float32)
+        self.b_point = self.param("b_point", zeros, (C,), jnp.float32)
+
+    def _xla_path(self, x: jax.Array, train: bool) -> jax.Array:
+        dt = self.dtype
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + 1e-6) * self.ln_scale + self.ln_bias
+        y = jax.lax.conv_general_dilated(
+            y.astype(dt), self.w_conv.astype(dt), window_strides=(1,),
+            padding="SAME", rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + self.b_conv.astype(dt)
         lin, gate = jnp.split(y, 2, axis=-1)
         y = lin * jax.nn.sigmoid(gate)
-        y = nn.Conv(self.channels, kernel_size=(1,), dtype=self.dtype)(y)
+        y = y @ self.w_point.astype(dt) + self.b_point.astype(dt)
         if self.dropout > 0:
             y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return _mask_time(res + y, lengths)
+        return y
+
+    def __call__(self, x: jax.Array, lengths: jax.Array, train: bool) -> jax.Array:
+        if self.use_pallas and not train and jax.default_backend() == "tpu":
+            from pytorch_asr_tpu.ops.dilated_conv_pallas import tcn_block_pallas
+
+            out = tcn_block_pallas(
+                x.astype(jnp.float32), self.ln_scale, self.ln_bias,
+                self.w_conv, self.b_conv, self.w_point, self.b_point,
+                dilation=self.dilation).astype(x.dtype)
+            return _mask_time(out, lengths)
+        y = self._xla_path(x.astype(jnp.float32), train)
+        return _mask_time(x + y.astype(x.dtype), lengths)
 
 
 class TCNEncoder(nn.Module):
@@ -75,6 +106,7 @@ class TCNEncoder(nn.Module):
         for i in range(c.num_blocks):
             dilation = c.dilation_cycle[i % len(c.dilation_cycle)]
             x = TCNBlock(c.channels, c.kernel_size, dilation, c.dropout,
-                         self.dtype, name=f"block{i}")(x, lengths, train)
+                         self.dtype, use_pallas=c.use_pallas,
+                         name=f"block{i}")(x, lengths, train)
         x = nn.LayerNorm(dtype=self.dtype)(x)
         return _mask_time(x, lengths), lengths
