@@ -47,6 +47,10 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 
 def load_audio(path: str) -> tuple[np.ndarray, int]:
     if path.endswith(".wav"):
+        from pytorch_asr_tpu import native
+
+        if native.available():
+            return native.read_wav(path)
         return read_wav(path)
     try:  # FLAC needs an external decoder; gated since this env has none.
         import soundfile  # type: ignore

@@ -24,6 +24,11 @@ from pytorch_asr_tpu.decoding.wer import corpus_cer, corpus_wer
 def _load_lm_table(cfg):
     if not cfg.decode.lm_path:
         return None
+    from pytorch_asr_tpu import native
+
+    if native.available():
+        table, _order = native.arpa_dense_table(cfg.decode.lm_path)
+        return jnp.asarray(table)
     lm = read_arpa(cfg.decode.lm_path)
     return jnp.asarray(tensorize(lm))
 

@@ -127,6 +127,34 @@ def read_arpa(path: str, tokenizer: CharTokenizer | None = None) -> BackoffLM:
     return BackoffLM(order, logprobs, backoffs)
 
 
+def write_arpa(lm: BackoffLM, path: str,
+               tokenizer: CharTokenizer | None = None) -> None:
+    """Serialize a BackoffLM to ARPA (char symbols; ' ' written as <space>)."""
+    tok = tokenizer or CharTokenizer()
+
+    def sym(i: int) -> str:
+        ch = tok.decode([i])
+        return "<space>" if ch == " " else ch
+
+    by_order: dict[int, list] = {}
+    for ng, lp in lm.logprobs.items():
+        by_order.setdefault(len(ng), []).append((ng, lp))
+    with open(path, "w") as fh:
+        fh.write("\\data\\\n")
+        for n in sorted(by_order):
+            fh.write(f"ngram {n}={len(by_order[n])}\n")
+        fh.write("\n")
+        for n in sorted(by_order):
+            fh.write(f"\\{n}-grams:\n")
+            for ng, lp in sorted(by_order[n]):
+                cols = [f"{lp / LOG10:.6f}", " ".join(sym(i) for i in ng)]
+                if ng in lm.backoffs:
+                    cols.append(f"{lm.backoffs[ng] / LOG10:.6f}")
+                fh.write("\t".join(cols) + "\n")
+            fh.write("\n")
+        fh.write("\\end\\\n")
+
+
 def tensorize(lm: BackoffLM, tokenizer: CharTokenizer | None = None,
               order: int | None = None) -> np.ndarray:
     """Dense (V^(n-1), V) table of log P(c | ctx) with backoff fully applied.

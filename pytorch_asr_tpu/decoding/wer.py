@@ -32,15 +32,31 @@ class ErrorRateAccumulator:
         return self.errors / max(self.tokens, 1)
 
 
-def corpus_wer(refs: list[str], hyps: list[str]) -> float:
+def _corpus_rate(refs: list[list], hyps: list[list]) -> float:
+    """Batch error rate; uses the threaded C++ scorer when built."""
+    tokens = sum(len(r) for r in refs)
+    if tokens == 0:
+        return 0.0
+    try:
+        from pytorch_asr_tpu import native
+
+        if native.available():
+            sym = {}
+            to_ids = lambda seq: [sym.setdefault(s, len(sym)) for s in seq]  # noqa: E731
+            ref_ids = [to_ids(r) for r in refs]
+            hyp_ids = [to_ids(h) for h in hyps]
+            return float(native.edit_distance_batch(ref_ids, hyp_ids).sum()) / tokens
+    except ImportError:
+        pass
     acc = ErrorRateAccumulator()
     for r, h in zip(refs, hyps):
-        acc.add(r.split(), h.split())
+        acc.add(r, h)
     return acc.rate
+
+
+def corpus_wer(refs: list[str], hyps: list[str]) -> float:
+    return _corpus_rate([r.split() for r in refs], [h.split() for h in hyps])
 
 
 def corpus_cer(refs: list[str], hyps: list[str]) -> float:
-    acc = ErrorRateAccumulator()
-    for r, h in zip(refs, hyps):
-        acc.add(list(r), list(h))
-    return acc.rate
+    return _corpus_rate([list(r) for r in refs], [list(h) for h in hyps])
