@@ -27,6 +27,12 @@ class FrontendConfig:
     log_floor: float = 1e-6
     normalize: bool = True         # per-utterance mean/var over valid frames
     use_pallas: bool = True        # Pallas framed-STFT kernel on TPU
+    # SpecAugment (train-time only)
+    specaugment: bool = True
+    sa_freq_masks: int = 2
+    sa_freq_width: int = 27
+    sa_time_masks: int = 2
+    sa_time_fraction: float = 0.05
 
 
 @dataclass(frozen=True)

@@ -19,17 +19,34 @@ __all__ = [
 ]
 
 
+def load_corpus_for(cfg: DataConfig, sample_rate: int,
+                    max_utts: int | None = None):
+    """(audio, transcript) pairs for the configured source (synthetic when no root)."""
+    if cfg.librispeech_root:
+        return load_corpus(cfg.librispeech_root, cfg.split, max_utts=max_utts)
+    return synthetic_corpus(
+        max_utts or cfg.synthetic_num_utts, sample_rate, seed=cfg.shuffle_seed)
+
+
 def build_dataset(cfg: DataConfig, sample_rate: int, max_utts: int | None = None) -> BucketedDataset:
     """Build the bucketed dataset named by ``cfg`` (synthetic when no data root)."""
-    if cfg.librispeech_root:
-        corpus = load_corpus(cfg.librispeech_root, cfg.split, max_utts=max_utts)
-    else:
-        corpus = synthetic_corpus(
-            max_utts or cfg.synthetic_num_utts, sample_rate, seed=cfg.shuffle_seed
-        )
+    corpus = load_corpus_for(cfg, sample_rate, max_utts)
     return BucketedDataset(
         corpus,
         batch_size=cfg.batch_size,
         bucket_audio_lens=cfg.bucket_audio_lens,
         bucket_label_lens=cfg.bucket_label_lens,
     )
+
+
+def build_grain_iterator(cfg: DataConfig, sample_rate: int,
+                         num_shards: int = 1, shard_index: int = 0):
+    """Checkpointable per-host-sharded infinite training iterator (grain)."""
+    from pytorch_asr_tpu.data.grain_pipeline import GrainBucketedIterator
+
+    corpus = load_corpus_for(cfg, sample_rate)
+    return GrainBucketedIterator(
+        corpus, batch_size=cfg.batch_size,
+        bucket_audio_lens=cfg.bucket_audio_lens,
+        bucket_label_lens=cfg.bucket_label_lens,
+        seed=cfg.shuffle_seed, num_shards=num_shards, shard_index=shard_index)

@@ -80,6 +80,16 @@ class ASRModel(nn.Module):
 
     def encode(self, audio: jax.Array, audio_len: jax.Array, train: bool = False):
         feats, feat_len = self.compute_features(audio, audio_len)
+        if train and self.frontend_cfg.specaugment:
+            from pytorch_asr_tpu.frontend.specaugment import (
+                SpecAugmentConfig, spec_augment)
+
+            sa_cfg = SpecAugmentConfig(
+                num_freq_masks=self.frontend_cfg.sa_freq_masks,
+                freq_mask_width=self.frontend_cfg.sa_freq_width,
+                num_time_masks=self.frontend_cfg.sa_time_masks,
+                time_mask_fraction=self.frontend_cfg.sa_time_fraction)
+            feats = spec_augment(self.make_rng("dropout"), feats, feat_len, sa_cfg)
         enc, enc_len = self.encoder(feats, feat_len, train=train)
         return enc, enc_len
 

@@ -43,8 +43,21 @@ class CheckpointManager:
             with open(meta_path, "w") as fh:
                 json.dump(_meta(cfg), fh, indent=2, default=str)
 
-    def save(self, state: TrainState) -> None:
-        self._mgr.save(int(state.step), args=ocp.args.StandardSave(state))
+    def save(self, state: TrainState, iterator_state: dict | None = None) -> None:
+        step = int(state.step)
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if iterator_state is not None:
+            with open(os.path.join(self.directory, f"iterator_{step}.json"),
+                      "w") as fh:
+                json.dump(iterator_state, fh)
+
+    def restore_iterator_state(self, step: int | None = None) -> dict | None:
+        step = step if step is not None else self._mgr.latest_step()
+        path = os.path.join(self.directory, f"iterator_{step}.json")
+        if step is None or not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

@@ -41,8 +41,21 @@ class Trainer:
     ) -> None:
         self.cfg = cfg
         self.tokenizer = CharTokenizer()
+        explicit_dataset = dataset is not None
         self.dataset = dataset or build_dataset(cfg.data, cfg.frontend.sample_rate)
         self.eval_dataset = eval_dataset or self.dataset
+        # Training stream: checkpointable grain iterator, per-host sharded
+        # (falls back to the in-memory bucketed iterator when a dataset object
+        # was handed in explicitly, e.g. by tests).
+        if explicit_dataset:
+            self.train_iter = None
+        else:
+            from pytorch_asr_tpu.data import build_grain_iterator
+            from pytorch_asr_tpu.parallel import distributed
+
+            shards, idx = distributed.host_shard()
+            self.train_iter = build_grain_iterator(
+                cfg.data, cfg.frontend.sample_rate, shards, idx)
         self.mesh = make_mesh(cfg.mesh, batch_size=cfg.data.batch_size)
         self.model = build_model(cfg, self.tokenizer)
         self.metrics = MetricsLogger(metrics_path, stdout=True)
@@ -58,6 +71,9 @@ class Trainer:
         )
         if self._ckpt is not None and self._ckpt.latest_step() is not None:
             self.state = self._ckpt.restore(self.state)
+            it_state = self._ckpt.restore_iterator_state()
+            if it_state is not None and self.train_iter is not None:
+                self.train_iter.set_state(it_state)
             self.metrics.log("restore", step=int(self.state.step))
         self._train_step = jax.jit(make_train_step(cfg, self.model), donate_argnums=0)
         self._eval_step = jax.jit(make_eval_step(cfg, self.model))
@@ -65,7 +81,8 @@ class Trainer:
     # ------------------------------------------------------------------ train
     def train(self, num_steps: int, batches: Iterator[dict] | None = None) -> dict:
         cfg = self.cfg
-        it = batches or self.dataset.repeat_batches(seed=cfg.data.shuffle_seed)
+        it = batches or self.train_iter or self.dataset.repeat_batches(
+            seed=cfg.data.shuffle_seed)
         sr = cfg.frontend.sample_rate
         last = {}
         self.throughput.reset()
@@ -84,12 +101,15 @@ class Trainer:
                 self.metrics.log("train", **last)
                 self.throughput.reset()
             if self._ckpt is not None and step % cfg.train.checkpoint_every == 0:
-                self._ckpt.save(self.state)
+                self._ckpt.save(self.state, self._iter_state())
         last["wall_s"] = time.perf_counter() - t_step0
         if self._ckpt is not None:
-            self._ckpt.save(self.state)
+            self._ckpt.save(self.state, self._iter_state())
             self._ckpt.wait()
         return last
+
+    def _iter_state(self):
+        return self.train_iter.get_state() if self.train_iter is not None else None
 
     # ------------------------------------------------------------------- eval
     def decode_eval(self, max_batches: int | None = None) -> dict:

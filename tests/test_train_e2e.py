@@ -27,7 +27,7 @@ def tiny_cfg():
     cfg = get_config("ctc_bilstm_dev1h")
     return dataclasses.replace(
         cfg,
-        frontend=FrontendConfig(use_pallas=False),
+        frontend=FrontendConfig(use_pallas=False, specaugment=False),
         data=DataConfig(
             batch_size=4,
             bucket_audio_lens=(40000,),
@@ -124,7 +124,7 @@ def test_joint_model_trains_and_beam_decodes(tmp_path_factory):
     cfg = get_config("joint_ctc_attention_960h")
     cfg = dataclasses.replace(
         cfg,
-        frontend=FrontendConfig(use_pallas=False),
+        frontend=FrontendConfig(use_pallas=False, specaugment=False),
         data=DataConfig(batch_size=8, bucket_audio_lens=(32000,),
                         bucket_label_lens=(32,), synthetic_num_utts=16),
         model=ModelConfig(
