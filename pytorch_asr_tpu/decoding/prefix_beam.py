@@ -71,8 +71,9 @@ def _segment_logsumexp_sorted(vals, seg_start):
     return jnp.maximum(m_safe + jnp.log(jnp.maximum(s, 1e-37)), NEG_INF)
 
 
-def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
-          lm_alpha, lm_beta, lm_order, K, L):
+def _build_candidates(state: BeamState, logp_t, *, blank, vocab, lm_table,
+                      lm_alpha, lm_beta, K, L, parent_offset: int = 0):
+    """Stay + extension candidates for K beams -> dict of (B, K + K*(V-1))."""
     B = logp_t.shape[0]
     nb = vocab - 1                                         # non-blank count
     total = _lse(state.pb, state.pnb)                      # (B, K)
@@ -106,7 +107,7 @@ def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
     ext_hash = state.hash[..., None] * HASH_MULT + chars[None, None, :]
 
     # --- flatten to N = K + K*nb candidates --------------------------------
-    N = K + K * nb
+    pid = jnp.arange(K, dtype=jnp.int32) + parent_offset
     cand = {
         "pb": jnp.concatenate([stay_pb, jnp.full((B, K * nb), NEG_INF)], 1),
         "pnb": jnp.concatenate([stay_pnb, ext_pnb.reshape(B, -1)], 1),
@@ -117,17 +118,21 @@ def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
             [state.last, jnp.broadcast_to(chars[None, None, :],
                                           (B, K, nb)).reshape(B, -1)], 1),
         "parent": jnp.concatenate(
-            [jnp.arange(K, dtype=jnp.int32)[None].repeat(B, 0),
-             jnp.arange(K, dtype=jnp.int32)[None, :, None]
-             .repeat(nb, 2).reshape(1, -1).repeat(B, 0)], 1),
+            [pid[None].repeat(B, 0),
+             pid[None, :, None].repeat(nb, 2).reshape(1, -1).repeat(B, 0)], 1),
         "append": jnp.concatenate(
             [jnp.full((B, K), -1, jnp.int32),
              jnp.broadcast_to(chars[None, None, :], (B, K, nb)).reshape(B, -1)], 1),
     }
+    return cand
 
-    # --- merge duplicates by hash ------------------------------------------
+
+def _merge_topk(cand: dict, K: int):
+    """Hash-merge duplicate prefixes, keep top-K.  Returns (score, fields)."""
     order = jnp.argsort(cand["hash"], axis=1)
     srt = {k: jnp.take_along_axis(v, order, axis=1) for k, v in cand.items()}
+    srt = {k: jnp.take_along_axis(v, order, axis=1) for k, v in cand.items()}
+    B = srt["hash"].shape[0]
     prev = jnp.concatenate([jnp.full((B, 1), -2147483647, jnp.int32),
                             srt["hash"][:, :-1]], 1)
     head = srt["hash"] != prev                             # (B, N) run heads
@@ -136,25 +141,44 @@ def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
     score = _lse(mpb, mpnb) + srt["lm"]
     score = jnp.where(head, score, NEG_INF)                # leaders only
 
-    # --- top-K -------------------------------------------------------------
     top_score, top_idx = jax.lax.top_k(score, K)           # (B, K)
     take = lambda f: jnp.take_along_axis(srt[f], top_idx, axis=1)  # noqa: E731
-    new_pb = jnp.take_along_axis(mpb, top_idx, axis=1)
-    new_pnb = jnp.take_along_axis(mpnb, top_idx, axis=1)
-    parent = take("parent")
-    append = take("append")
+    fields = {
+        "pb": jnp.take_along_axis(mpb, top_idx, axis=1),
+        "pnb": jnp.take_along_axis(mpnb, top_idx, axis=1),
+        "lm": take("lm"), "hash": take("hash"), "ctx": take("ctx"),
+        "last": take("last"), "parent": take("parent"), "append": take("append"),
+    }
+    return top_score, fields
 
-    parent_tokens = jnp.take_along_axis(
-        state.tokens, parent[..., None], axis=1)           # (B, K, L)
-    parent_len = jnp.take_along_axis(state.length, parent, axis=1)
+
+def _apply_tokens(tokens, length, parent, append, L):
+    """Rebuild token buffers/lengths after a merge step (parent is global)."""
+    parent_tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
+    parent_len = jnp.take_along_axis(length, parent, axis=1)
     pos = jnp.arange(L)[None, None, :] == parent_len[..., None]
     ext_mask = (append >= 0)[..., None]
     new_tokens = jnp.where(pos & ext_mask, append[..., None], parent_tokens)
     new_len = parent_len + (append >= 0).astype(jnp.int32)
+    return new_tokens, new_len
+
+
+def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
+          lm_alpha, lm_beta, lm_order, K, L):
+    B = logp_t.shape[0]
+    cand = _build_candidates(state, logp_t, blank=blank, vocab=vocab,
+                             lm_table=lm_table, lm_alpha=lm_alpha,
+                             lm_beta=lm_beta, K=K, L=L)
+    top_score, f = _merge_topk(cand, K)
+    parent, append = f["parent"], f["append"]
+    new_pb, new_pnb = f["pb"], f["pnb"]
+
+    new_tokens, new_len = _apply_tokens(state.tokens, state.length,
+                                        parent, append, L)
 
     new_state = BeamState(
         tokens=new_tokens, length=new_len, pb=new_pb, pnb=new_pnb,
-        lm_s=take("lm"), hash=take("hash"), ctx=take("ctx"), last=take("last"))
+        lm_s=f["lm"], hash=f["hash"], ctx=f["ctx"], last=f["last"])
 
     # frozen rows (t >= logit_len) keep their old state
     keep = active[:, None]
