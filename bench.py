@@ -24,7 +24,7 @@ import numpy as np
 
 BASELINE_AUDIO_S_PER_S = 50.0   # literature anchor, see module docstring
 
-BATCH = 16
+BATCH = 64
 AUDIO_SEC = 10.0
 SAMPLE_RATE = 16000
 WARMUP_STEPS = 3

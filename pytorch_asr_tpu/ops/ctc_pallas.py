@@ -38,6 +38,7 @@ from pytorch_asr_tpu.ops.ctc import (
 
 LANE = 128
 TIME_CHUNK = 32
+BATCH_BLOCK = 16   # caps VMEM: chunk buffers are (TIME_CHUNK, BATCH_BLOCK, S)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -64,8 +65,8 @@ def _logsumexp3(a, b, c):
 
 def _fwd_kernel(logp_ref, skip_ref, len_ref, alphas_ref, final_ref,
                 alpha_sc, *, tc: int, s_pad: int):
-    i = pl.program_id(0)
-    B = len_ref.shape[0]
+    i = pl.program_id(1)                       # time-chunk index (inner grid dim)
+    B = logp_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, s_pad), 1)
     alpha = alpha_sc[:]
     skip_add = skip_ref[:]                      # 0 where skip allowed else NEG_INF
@@ -89,8 +90,8 @@ def _fwd_kernel(logp_ref, skip_ref, len_ref, alphas_ref, final_ref,
 def _bwd_kernel(logp_ref, alphas_ref, skip_from_ref, beta_T_ref, len_ref,
                 logz_ref, w_ref, beta_sc, logp_next_sc,
                 *, tc: int, s_pad: int, n_chunks: int):
-    i = pl.program_id(0)
-    B = len_ref.shape[0]
+    i = pl.program_id(1)                       # reversed time-chunk index
+    B = logp_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, s_pad), 1)
 
     @pl.when(i == 0)
@@ -150,61 +151,80 @@ def _prep_pallas(logits, logit_len, labels, label_len, blank):
     return logp, logp_tbs, ext, skip_add, s_pad, t_pad
 
 
+def _pad_batch(x, b_pad, axis, fill):
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, b_pad - x.shape[axis])
+    return jnp.pad(x, pads, constant_values=fill) if b_pad != x.shape[axis] else x
+
+
 def _run_forward(logp_tbs, skip_add, logit_len, s_pad, t_pad):
     B = logp_tbs.shape[1]
+    bb = min(BATCH_BLOCK, _round_up(B, 8))
+    b_pad = _round_up(B, bb)
+    logp_tbs = _pad_batch(logp_tbs, b_pad, 1, NEG_INF)
+    skip_add = _pad_batch(skip_add, b_pad, 0, NEG_INF)
+    lens = _pad_batch(logit_len.astype(jnp.int32)[:, None], b_pad, 0, 0)
     n_chunks = t_pad // TIME_CHUNK
     kern = functools.partial(_fwd_kernel, tc=TIME_CHUNK, s_pad=s_pad)
     alphas, final = pl.pallas_call(
         kern,
-        grid=(n_chunks,),
+        grid=(b_pad // bb, n_chunks),
         in_specs=[
-            pl.BlockSpec((TIME_CHUNK, B, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # skip_add
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # lens (B,1)
+            pl.BlockSpec((TIME_CHUNK, bb, s_pad), lambda b, i: (i, b, 0)),
+            pl.BlockSpec((bb, s_pad), lambda b, i: (b, 0)),    # skip_add
+            pl.BlockSpec((bb, 1), lambda b, i: (b, 0)),        # lens
         ],
         out_specs=[
-            pl.BlockSpec((TIME_CHUNK, B, s_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((B, s_pad), lambda i: (0, 0)),
+            pl.BlockSpec((TIME_CHUNK, bb, s_pad), lambda b, i: (i, b, 0)),
+            pl.BlockSpec((bb, s_pad), lambda b, i: (b, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, B, s_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, b_pad, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, s_pad), jnp.float32)],
-    )(logp_tbs, skip_add, logit_len.astype(jnp.int32)[:, None])
-    return alphas, final
+        scratch_shapes=[pltpu.VMEM((bb, s_pad), jnp.float32)],
+    )(logp_tbs, skip_add, lens)
+    return alphas[:, :B], final[:B]
 
 
 def _run_backward(logp_tbs, alphas, skip_add, beta_T, logit_len, logz,
                   s_pad, t_pad):
     B = logp_tbs.shape[1]
+    bb = min(BATCH_BLOCK, _round_up(B, 8))
+    b_pad = _round_up(B, bb)
     n_chunks = t_pad // TIME_CHUNK
     # skip transitions s -> s+2 allowed iff arrival-skip allowed at s+2
     skip_from = jnp.concatenate(
         [skip_add[:, 2:], jnp.full((B, 2), NEG_INF, jnp.float32)], axis=1)
+    logp_tbs = _pad_batch(logp_tbs, b_pad, 1, NEG_INF)
+    alphas = _pad_batch(alphas, b_pad, 1, NEG_INF)
+    skip_from = _pad_batch(skip_from, b_pad, 0, NEG_INF)
+    beta_T = _pad_batch(beta_T, b_pad, 0, NEG_INF)
+    lens = _pad_batch(logit_len.astype(jnp.int32)[:, None], b_pad, 0, 0)
+    logz_p = _pad_batch(logz[:, None], b_pad, 0, 0.0)
     kern = functools.partial(_bwd_kernel, tc=TIME_CHUNK, s_pad=s_pad,
                              n_chunks=n_chunks)
-    rev = lambda i: (n_chunks - 1 - i, 0, 0)  # noqa: E731
+    rev3 = lambda b, i: (n_chunks - 1 - i, b, 0)  # noqa: E731
+    row = lambda b, i: (b, 0)  # noqa: E731
     w = pl.pallas_call(
         kern,
-        grid=(n_chunks,),
+        grid=(b_pad // bb, n_chunks),
         in_specs=[
-            pl.BlockSpec((TIME_CHUNK, B, s_pad), rev),    # logp chunks, reversed
-            pl.BlockSpec((TIME_CHUNK, B, s_pad), rev),    # alpha chunks, reversed
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # skip_from
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # beta_T
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # lens
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # logz (B,1)
+            pl.BlockSpec((TIME_CHUNK, bb, s_pad), rev3),  # logp chunks, reversed
+            pl.BlockSpec((TIME_CHUNK, bb, s_pad), rev3),  # alpha chunks, reversed
+            pl.BlockSpec((bb, s_pad), row),               # skip_from
+            pl.BlockSpec((bb, s_pad), row),               # beta_T
+            pl.BlockSpec((bb, 1), row),                   # lens
+            pl.BlockSpec((bb, 1), row),                   # logz
         ],
-        out_specs=pl.BlockSpec((TIME_CHUNK, B, s_pad), rev),
-        out_shape=jax.ShapeDtypeStruct((t_pad, B, s_pad), jnp.float32),
+        out_specs=pl.BlockSpec((TIME_CHUNK, bb, s_pad), rev3),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b_pad, s_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B, s_pad), jnp.float32),          # beta carry
-            pltpu.VMEM((B, s_pad), jnp.float32),          # logp_{t+1} carry
+            pltpu.VMEM((bb, s_pad), jnp.float32),         # beta carry
+            pltpu.VMEM((bb, s_pad), jnp.float32),         # logp_{t+1} carry
         ],
-    )(logp_tbs, alphas, skip_from, beta_T,
-      logit_len.astype(jnp.int32)[:, None], logz[:, None])
-    return w
+    )(logp_tbs, alphas, skip_from, beta_T, lens, logz_p)
+    return w[:, :B]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
