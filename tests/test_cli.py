@@ -1,0 +1,59 @@
+"""CLI smoke tests (layer T7)."""
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+
+
+def test_train_cli_help():
+    out = subprocess.run(
+        [sys.executable, "-m", "pytorch_asr_tpu.train", "--help"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0
+    assert "ctc_bilstm_dev1h" in out.stdout
+
+
+def test_config_overrides():
+    from pytorch_asr_tpu.configs import get_config
+
+    cfg = get_config("ctc_bilstm_dev1h",
+                     **{"data.batch_size": "4",
+                        "model.encoder.hidden_dim": "64",
+                        "train.optim.peak_lr": "0.001",
+                        "frontend.use_pallas": "false"})
+    assert cfg.data.batch_size == 4
+    assert cfg.model.encoder.hidden_dim == 64
+    assert cfg.train.optim.peak_lr == 0.001
+    assert cfg.frontend.use_pallas is False
+
+
+def test_train_cli_runs_steps(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    metrics = tmp_path / "metrics.jsonl"
+    out = subprocess.run(
+        [sys.executable, "-m", "pytorch_asr_tpu.train", "ctc_bilstm_dev1h",
+         "steps=3",
+         "metrics_path=" + str(metrics),
+         "data.batch_size=2",
+         "data.bucket_audio_lens=32000",
+         "data.bucket_label_lens=32",
+         "data.synthetic_num_utts=4",
+         "model.encoder.hidden_dim=16",
+         "model.encoder.num_layers=1",
+         "model.encoder.conv_channels=4",
+         "model.compute_dtype=float32",
+         "frontend.use_pallas=false",
+         "frontend.specaugment=false",
+         "train.eval_every=3",
+         "train.checkpoint_every=1000",
+         "train.checkpoint_dir=" + str(tmp_path / "ckpt"),
+         "train.log_every=1"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    events = [json.loads(l) for l in metrics.read_text().splitlines()]
+    kinds = {e["event"] for e in events}
+    assert "train" in kinds and "eval" in kinds
