@@ -63,6 +63,7 @@ class BiLSTMEncoderConfig:
     hidden_dim: int = 512
     num_layers: int = 4
     dropout: float = 0.1
+    use_pallas: bool = True                 # fused Pallas LSTM kernel on TPU
 
 
 @dataclass(frozen=True)

@@ -54,11 +54,17 @@ def _lstm_scan(xproj: jax.Array, whh: jax.Array, valid: jax.Array,
 
 
 class LSTMDirection(nn.Module):
-    """One direction of a BiLSTM layer."""
+    """One direction of a BiLSTM layer.
+
+    On TPU the recurrence runs in the fused Pallas sequence kernel
+    (ops/lstm_pallas.py, custom VJP); elsewhere a lax.scan cell.  Both share
+    the same weights and the big (B*T, D)@(D, 4H) input projection.
+    """
 
     hidden_dim: int
     reverse: bool
     dtype: Any = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -70,18 +76,26 @@ class LSTMDirection(nn.Module):
         b = self.param("bias", _lstm_bias_init, (4 * H,), jnp.float32)
 
         xproj = (x.astype(self.dtype) @ wih.astype(self.dtype)).astype(jnp.float32) + b
-        xproj = jnp.swapaxes(xproj, 0, 1)                      # (T, B, 4H)
-        t_idx = jnp.arange(T)[:, None]
-        if self.reverse:
-            xproj = jnp.flip(xproj, axis=0)
-            # After flipping, a row's valid region starts at T - length.
-            valid = t_idx >= (T - lengths)[None, :]
+
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from pytorch_asr_tpu.ops.lstm_pallas import lstm_seq
+
+            xp = jnp.flip(xproj, axis=1) if self.reverse else xproj
+            hs = lstm_seq(xp, whh, lengths, self.reverse)      # (B, T, H)
+            out = jnp.flip(hs, axis=1) if self.reverse else hs
         else:
-            valid = t_idx < lengths[None, :]
-        hs = _lstm_scan(xproj, whh, valid)
-        if self.reverse:
-            hs = jnp.flip(hs, axis=0)
-        out = jnp.swapaxes(hs, 0, 1)                           # (B, T, H)
+            xproj = jnp.swapaxes(xproj, 0, 1)                  # (T, B, 4H)
+            t_idx = jnp.arange(T)[:, None]
+            if self.reverse:
+                xproj = jnp.flip(xproj, axis=0)
+                # After flipping, a row's valid region starts at T - length.
+                valid = t_idx >= (T - lengths)[None, :]
+            else:
+                valid = t_idx < lengths[None, :]
+            hs = _lstm_scan(xproj, whh, valid)
+            if self.reverse:
+                hs = jnp.flip(hs, axis=0)
+            out = jnp.swapaxes(hs, 0, 1)                       # (B, T, H)
         mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
         return jnp.where(mask, out, 0.0).astype(self.dtype)
 
@@ -150,10 +164,13 @@ class BiLSTMEncoder(nn.Module):
                  train: bool = False):
         x, lengths = ConvSubsampler(self.cfg, self.dtype)(feats, feat_len)
         H = self.cfg.hidden_dim
+        use_pallas = getattr(self.cfg, "use_pallas", True)
         for layer in range(self.cfg.num_layers):
             fwd = LSTMDirection(H, reverse=False, dtype=self.dtype,
+                                use_pallas=use_pallas,
                                 name=f"lstm{layer}_fwd")(x, lengths)
             bwd = LSTMDirection(H, reverse=True, dtype=self.dtype,
+                                use_pallas=use_pallas,
                                 name=f"lstm{layer}_bwd")(x, lengths)
             x = jnp.concatenate([fwd, bwd], axis=-1)
             if self.cfg.dropout > 0:
