@@ -48,8 +48,10 @@ class DataConfig:
     bucket_label_lens: Tuple[int, ...] = (96, 192, 320, 480, 640)
     shuffle_seed: int = 0
     synthetic_num_utts: int = 128   # used when librispeech_root == ""
-    synthetic_min_sec: float = 1.0
-    synthetic_max_sec: float = 12.0
+    # Optional target duration range for the synthetic corpus; 0 = default
+    # word-count range (data/synthetic.py).
+    synthetic_min_sec: float = 0.0
+    synthetic_max_sec: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -25,7 +25,9 @@ def load_corpus_for(cfg: DataConfig, sample_rate: int,
     if cfg.librispeech_root:
         return load_corpus(cfg.librispeech_root, cfg.split, max_utts=max_utts)
     return synthetic_corpus(
-        max_utts or cfg.synthetic_num_utts, sample_rate, seed=cfg.shuffle_seed)
+        max_utts or cfg.synthetic_num_utts, sample_rate, seed=cfg.shuffle_seed,
+        min_sec=cfg.synthetic_min_sec or None,
+        max_sec=cfg.synthetic_max_sec or None)
 
 
 def build_dataset(cfg: DataConfig, sample_rate: int, max_utts: int | None = None) -> BucketedDataset:

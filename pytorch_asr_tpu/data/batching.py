@@ -97,6 +97,12 @@ class BucketedDataset:
                 )
             self.per_bucket[bi].append((audio, toks))
         self.num_examples = sum(len(b) for b in self.per_bucket)
+        if self.num_examples == 0 and len(corpus) > 0:
+            raise ValueError(
+                f"no utterance fits any bucket: all {self.num_dropped} "
+                f"utterances exceed the largest bucket {self.buckets[-1]} "
+                f"(audio samples x label chars); raise bucket_audio_lens / "
+                f"bucket_label_lens")
 
     def epoch_batches(self, seed: int = 0) -> Iterator[dict[str, np.ndarray]]:
         rng = np.random.default_rng(seed)

@@ -45,8 +45,20 @@ def synthetic_corpus(
     seed: int = 0,
     min_words: int = 2,
     max_words: int = 8,
+    min_sec: float | None = None,
+    max_sec: float | None = None,
 ) -> list[tuple[np.ndarray, str]]:
-    """Deterministic list of (audio, transcript) pairs."""
+    """Deterministic list of (audio, transcript) pairs.
+
+    ``min_sec``/``max_sec`` override the word-count range with a target
+    duration range (duration = chars * CHAR_TONE_SEC, ~6 chars/word).
+    """
+    if min_sec is not None or max_sec is not None:
+        per_word = (sum(len(w) for w in _WORDS) / len(_WORDS) + 1) * CHAR_TONE_SEC
+        if min_sec is not None:
+            min_words = max(1, round(min_sec / per_word))
+        if max_sec is not None:
+            max_words = max(min_words, round(max_sec / per_word))
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(num_utts):

@@ -14,10 +14,10 @@ from pytorch_asr_tpu.train import parse_args
 
 
 def main(argv: list[str] | None = None) -> None:
-    cfg, _steps, metrics_path = parse_args(sys.argv[1:] if argv is None else argv)
+    cfg, _steps, runtime = parse_args(sys.argv[1:] if argv is None else argv)
     from pytorch_asr_tpu.training.trainer import Trainer
 
-    trainer = Trainer(cfg, metrics_path=metrics_path)
+    trainer = Trainer(cfg, **runtime)
     result = trainer.decode_eval()
     print(result)
 

@@ -22,15 +22,24 @@ def parse_args(argv: list[str]):
     name = argv[0]
     overrides = dict(a.split("=", 1) for a in argv[1:])
     steps = int(overrides.pop("steps", "0")) or None
-    metrics_path = overrides.pop("metrics_path", None)
-    return get_config(name, **overrides), steps, metrics_path
+    # Driver-level (non-config) keys:
+    #   metrics_path=...   JSONL event log
+    #   tb_dir=...         mirror scalar metrics to TensorBoard
+    #   init_from_torch=.. initialize encoder+CTC head from a reference
+    #                      PyTorch checkpoint (training/torch_import.py)
+    runtime = {
+        "metrics_path": overrides.pop("metrics_path", None),
+        "tensorboard_dir": overrides.pop("tb_dir", None),
+        "init_from_torch": overrides.pop("init_from_torch", None),
+    }
+    return get_config(name, **overrides), steps, runtime
 
 
 def main(argv: list[str] | None = None) -> None:
-    cfg, steps, metrics_path = parse_args(sys.argv[1:] if argv is None else argv)
+    cfg, steps, runtime = parse_args(sys.argv[1:] if argv is None else argv)
     from pytorch_asr_tpu.training.trainer import Trainer
 
-    trainer = Trainer(cfg, metrics_path=metrics_path)
+    trainer = Trainer(cfg, **runtime)
     total = steps or cfg.train.optim.total_steps
     done = int(trainer.state.step)
     while done < total:

@@ -13,12 +13,22 @@ from typing import IO, Any
 
 
 class MetricsLogger:
-    def __init__(self, path: str | None = None, stdout: bool = True) -> None:
+    """JSONL event log, optionally mirrored to TensorBoard (SURVEY §2.1
+    logging row: 'structured JSONL + tensorboard')."""
+
+    def __init__(self, path: str | None = None, stdout: bool = True,
+                 tensorboard_dir: str | None = None) -> None:
         self._fh: IO[str] | None = None
         self.stdout = stdout
+        self._tb = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._fh = open(path, "a")
+        if tensorboard_dir:
+            import tensorflow as tf  # baked into this image; gated import
+
+            self._tb = tf.summary.create_file_writer(tensorboard_dir)
+        self._tb_step = 0
 
     def log(self, event: str, **fields: Any) -> None:
         rec = {"event": event, "ts": time.time(), **fields}
@@ -28,11 +38,23 @@ class MetricsLogger:
             self._fh.flush()
         if self.stdout:
             print(line, flush=True)
+        if self._tb is not None:
+            import tensorflow as tf
+
+            step = int(fields.get("step", self._tb_step))
+            self._tb_step = max(self._tb_step, step) + 1
+            with self._tb.as_default():
+                for k, v in fields.items():
+                    if isinstance(v, (int, float)) and k != "step":
+                        tf.summary.scalar(f"{event}/{k}", float(v), step=step)
 
     def close(self) -> None:
         if self._fh:
             self._fh.close()
             self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
 
 class Throughput:

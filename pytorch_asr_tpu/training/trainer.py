@@ -38,6 +38,8 @@ class Trainer:
         metrics_path: str | None = None,
         checkpoint_dir: str | None = None,
         enable_checkpoints: bool = True,
+        init_from_torch: str | None = None,
+        tensorboard_dir: str | None = None,
     ) -> None:
         self.cfg = cfg
         self.tokenizer = CharTokenizer()
@@ -58,13 +60,17 @@ class Trainer:
                 cfg.data, cfg.frontend.sample_rate, shards, idx)
         self.mesh = make_mesh(cfg.mesh, batch_size=cfg.data.batch_size)
         self.model = build_model(cfg, self.tokenizer)
-        self.metrics = MetricsLogger(metrics_path, stdout=True)
+        self.metrics = MetricsLogger(metrics_path, stdout=True,
+                                     tensorboard_dir=tensorboard_dir)
         self.throughput = Throughput(num_chips=self.mesh.devices.size)
         self._ckpt = (CheckpointManager(cfg, checkpoint_dir)
                       if enable_checkpoints else None)
 
         sample = next(iter(self.dataset.epoch_batches(seed=0)))
         self.state: TrainState = init_train_state(cfg, self.model, sample)
+        if init_from_torch:
+            self.state = self.state.replace(
+                params=self._import_torch(init_from_torch, self.state.params))
         self.state = self.state.replace(
             params=shard_params(self.mesh, self.state.params),
             opt_state=shard_params(self.mesh, self.state.opt_state),
@@ -110,6 +116,32 @@ class Trainer:
 
     def _iter_state(self):
         return self.train_iter.get_state() if self.train_iter is not None else None
+
+    def _import_torch(self, path: str, params: dict) -> dict:
+        """Initialize encoder + CTC head from a reference torch checkpoint
+        (SURVEY.md §2.1 'parity checkpoints'; training/torch_import.py)."""
+        from pytorch_asr_tpu.training.torch_import import (
+            TorchImportError, import_torch_bilstm_ctc, load_torch_checkpoint)
+
+        enc_cfg = self.cfg.model.encoder
+        imported = import_torch_bilstm_ctc(
+            load_torch_checkpoint(path),
+            num_mel_bins=self.cfg.frontend.n_mels,
+            vocab_size=self.tokenizer.vocab_size,
+            time_stride=enc_cfg.conv_stride[0],
+            freq_stride=enc_cfg.conv_stride[1])
+        merged = {**params, **imported}
+        for sub in imported:
+            want = jax.tree.map(np.shape, params[sub])
+            got = jax.tree.map(np.shape, imported[sub])
+            if want != got:
+                raise TorchImportError(
+                    f"imported '{sub}' shapes {got} do not match the "
+                    f"configured model {want}; check the config matches the "
+                    f"reference architecture")
+        self.metrics.log("init_from_torch", path=path,
+                         subtrees=sorted(imported))
+        return merged
 
     # ------------------------------------------------------------------- eval
     def decode_eval(self, max_batches: int | None = None) -> dict:

@@ -73,3 +73,22 @@ def test_debug_contexts():
         assert float(jnp.ones(()) + 1) == 2.0
     with nan_debug():
         assert float(jnp.ones(()) * 2) == 2.0
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """SURVEY §2.1 logging row: JSONL events mirrored to TensorBoard scalars."""
+    import os
+
+    from pytorch_asr_tpu.training.metrics import MetricsLogger
+
+    tb_dir = str(tmp_path / "tb")
+    jsonl = str(tmp_path / "m.jsonl")
+    m = MetricsLogger(jsonl, stdout=False, tensorboard_dir=tb_dir)
+    m.log("train", step=1, loss=2.5, lr=1e-3)
+    m.log("eval", step=1, wer=0.4, note="strings are skipped")
+    m.close()
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events, "no tensorboard event file written"
+    with open(jsonl) as fh:
+        lines = [line for line in fh if line.strip()]
+    assert len(lines) == 2

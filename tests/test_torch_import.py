@@ -31,7 +31,7 @@ V = 10
 
 
 class TorchDS2(torch.nn.Module):
-    def __init__(self):
+    def __init__(self, vocab: int = V):
         super().__init__()
         chans = [1, *CONV]
         self.convs = torch.nn.ModuleList(
@@ -43,7 +43,7 @@ class TorchDS2(torch.nn.Module):
             freq = (freq + 2 - 3) // 2 + 1
         self.lstm = torch.nn.LSTM(CONV[-1] * freq, H, num_layers=LAYERS,
                                   bidirectional=True, batch_first=True)
-        self.fc = torch.nn.Linear(2 * H, V)
+        self.fc = torch.nn.Linear(2 * H, vocab)
 
     def forward(self, feats):                       # (B, T, MEL)
         x = feats.unsqueeze(1)                      # (B, 1, T, F)
@@ -59,6 +59,15 @@ class TorchDS2(torch.nn.Module):
 def torch_model():
     torch.manual_seed(0)
     return TorchDS2().eval()
+
+
+@pytest.fixture(scope="module")
+def torch_model_charvocab():
+    """Same DS2 but with the framework's 31-char vocab (for Trainer tests)."""
+    from pytorch_asr_tpu.data.tokenizer import CharTokenizer
+
+    torch.manual_seed(1)
+    return TorchDS2(vocab=CharTokenizer().vocab_size).eval()
 
 
 def test_import_parity(torch_model):
@@ -108,3 +117,79 @@ def test_import_rejects_wrong_vocab(torch_model):
     with pytest.raises(TorchImportError, match="vocab"):
         import_torch_bilstm_ctc(torch_model.state_dict(), num_mel_bins=MEL,
                                 vocab_size=V + 1)
+
+
+def test_trainer_init_from_torch(tmp_path, torch_model_charvocab):
+    """CLI-level flow: train.py init_from_torch=<ckpt> seeds the TrainState."""
+    torch_model = torch_model_charvocab
+    import dataclasses
+
+    from pytorch_asr_tpu.configs import get_config
+    from pytorch_asr_tpu.configs.base import (
+        DataConfig, FrontendConfig, ModelConfig, OptimConfig, TrainConfig)
+    from pytorch_asr_tpu.data import BucketedDataset, synthetic_corpus
+    from pytorch_asr_tpu.training.trainer import Trainer
+
+    path = tmp_path / "ref.pt"
+    torch.save(torch_model.state_dict(), path)
+
+    cfg = dataclasses.replace(
+        get_config("ctc_bilstm_dev1h"),
+        frontend=FrontendConfig(n_mels=MEL, use_pallas=False,
+                                specaugment=False),
+        data=DataConfig(batch_size=2, bucket_audio_lens=(16000,),
+                        bucket_label_lens=(24,), synthetic_num_utts=4),
+        model=ModelConfig(
+            encoder=BiLSTMEncoderConfig(conv_channels=CONV, hidden_dim=H,
+                                        num_layers=LAYERS, dropout=0.0,
+                                        use_pallas=False),
+            compute_dtype="float32"),
+        train=TrainConfig(optim=OptimConfig(total_steps=10)),
+    )
+    corpus = synthetic_corpus(4, cfg.frontend.sample_rate, seed=0,
+                              min_words=1, max_words=2)
+    ds = BucketedDataset(corpus, batch_size=2,
+                         bucket_audio_lens=cfg.data.bucket_audio_lens,
+                         bucket_label_lens=cfg.data.bucket_label_lens)
+    trainer = Trainer(cfg, dataset=ds, enable_checkpoints=False,
+                      init_from_torch=str(path))
+    want = np.asarray(torch_model.lstm.weight_hh_l0.detach()).T
+    got = np.asarray(trainer.state.params["encoder"]["lstm0_fwd"]["whh"])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    result = trainer.evaluate(max_batches=1)
+    assert np.isfinite(result["wer"])
+
+
+def test_trainer_init_from_torch_shape_mismatch(tmp_path, torch_model_charvocab):
+    torch_model = torch_model_charvocab
+    import dataclasses
+
+    from pytorch_asr_tpu.configs import get_config
+    from pytorch_asr_tpu.configs.base import (
+        DataConfig, FrontendConfig, ModelConfig)
+    from pytorch_asr_tpu.data import BucketedDataset, synthetic_corpus
+    from pytorch_asr_tpu.training.trainer import Trainer
+
+    path = tmp_path / "ref.pt"
+    torch.save(torch_model.state_dict(), path)
+    cfg = dataclasses.replace(
+        get_config("ctc_bilstm_dev1h"),
+        frontend=FrontendConfig(n_mels=MEL, use_pallas=False,
+                                specaugment=False),
+        data=DataConfig(batch_size=2, bucket_audio_lens=(16000,),
+                        bucket_label_lens=(24,), synthetic_num_utts=4),
+        model=ModelConfig(
+            encoder=BiLSTMEncoderConfig(conv_channels=CONV,
+                                        hidden_dim=H + 4,  # wrong
+                                        num_layers=LAYERS, dropout=0.0,
+                                        use_pallas=False),
+            compute_dtype="float32"),
+    )
+    corpus = synthetic_corpus(4, cfg.frontend.sample_rate, seed=0,
+                              min_words=1, max_words=2)
+    ds = BucketedDataset(corpus, batch_size=2,
+                         bucket_audio_lens=cfg.data.bucket_audio_lens,
+                         bucket_label_lens=cfg.data.bucket_label_lens)
+    with pytest.raises(TorchImportError, match="shapes"):
+        Trainer(cfg, dataset=ds, enable_checkpoints=False,
+                init_from_torch=str(path))
