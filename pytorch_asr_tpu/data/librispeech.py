@@ -1,8 +1,10 @@
 """LibriSpeech corpus reader (SURVEY.md §2.1 'LibriSpeech data pipeline').
 
 The reference genre reads LibriSpeech via torchaudio/sox; here audio decode is
-host-side (pure-numpy WAV parser, soundfile for FLAC when available) and
-everything after the raw waveform lives on device.  Directory layout expected:
+host-side (threaded C++ WAV/FLAC decoders in native/asr_native.cc with pure-
+Python fallbacks — data/flac.py is a from-scratch FLAC decoder since this
+environment has no FLAC library at all) and everything after the raw waveform
+lives on device.  Directory layout expected:
 
     root/<split>/<speaker>/<chapter>/<speaker>-<chapter>-<utt>.flac
     root/<split>/<speaker>/<chapter>/<speaker>-<chapter>.trans.txt
@@ -46,24 +48,19 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 
 
 def load_audio(path: str) -> tuple[np.ndarray, int]:
-    if path.endswith(".wav"):
-        from pytorch_asr_tpu import native
+    from pytorch_asr_tpu import native
 
+    if path.endswith(".wav"):
         if native.available():
             return native.read_wav(path)
         return read_wav(path)
-    try:  # FLAC needs an external decoder; gated since this env has none.
-        import soundfile  # type: ignore
+    if path.endswith(".flac"):
+        if native.available() and hasattr(native, "read_flac"):
+            return native.read_flac(path)
+        from pytorch_asr_tpu.data.flac import read_flac
 
-        x, sr = soundfile.read(path, dtype="float32")
-        if x.ndim > 1:
-            x = x.mean(axis=1)
-        return np.asarray(x, dtype=np.float32), int(sr)
-    except ImportError as e:
-        raise RuntimeError(
-            f"cannot decode {path!r}: non-WAV audio requires the 'soundfile' "
-            "package, which is not installed in this environment"
-        ) from e
+        return read_flac(path)
+    raise RuntimeError(f"cannot decode {path!r}: unsupported audio format")
 
 
 def scan_manifest(root: str, split: str) -> list[Utterance]:

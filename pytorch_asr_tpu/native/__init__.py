@@ -51,6 +51,12 @@ def load():
     lib.asr_read_wav_batch.argtypes = [
         c.POINTER(c.c_char_p), c.c_int32, f32p, c.c_int64, i64p, i32p, i32p,
         c.c_int32]
+    lib.asr_read_flac.restype = c.c_int
+    lib.asr_read_flac.argtypes = [c.c_char_p, f32p, c.c_int64, i64p, i32p]
+    lib.asr_read_flac_batch.restype = None
+    lib.asr_read_flac_batch.argtypes = [
+        c.POINTER(c.c_char_p), c.c_int32, f32p, c.c_int64, i64p, i32p, i32p,
+        c.c_int32]
     lib.asr_edit_distance.restype = c.c_int64
     lib.asr_edit_distance.argtypes = [i32p, c.c_int64, i32p, c.c_int64]
     lib.asr_edit_distance_batch.restype = None
@@ -120,6 +126,59 @@ def read_wav_batch(paths: list[str], max_seconds: float = 60.0,
     bad = np.nonzero(rcs)[0]
     if len(bad):
         raise IOError(f"batch WAV decode failed for {[paths[i] for i in bad]}")
+    return audio, lens, rates
+
+
+# ----------------------------------------------------------------- FLAC decode
+
+def read_flac(path: str, max_seconds: float = 60.0):
+    """(audio float32 mono, sample_rate); native decoder if built, else the
+    pure-Python one (data/flac.py) — both from scratch, no FLAC lib exists
+    in this environment (SURVEY.md §2.2 torchaudio/sox row)."""
+    lib = load()
+    if lib is None:
+        from pytorch_asr_tpu.data.flac import read_flac as py_read
+
+        return py_read(path)
+    max_samples = int(max_seconds * 48000)
+    out = np.empty(max_samples, np.float32)
+    n = ctypes.c_int64()
+    rate = ctypes.c_int32()
+    rc = lib.asr_read_flac(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples, ctypes.byref(n), ctypes.byref(rate))
+    if rc != 0:
+        raise IOError(f"asr_read_flac({path!r}) failed with code {rc}")
+    return out[: n.value].copy(), int(rate.value)
+
+
+def read_flac_batch(paths: list[str], max_seconds: float = 60.0,
+                    n_threads: int = 0):
+    """Threaded batch decode -> (audio (N, max_samples), lengths, rates)."""
+    lib = load()
+    n = len(paths)
+    max_samples = int(max_seconds * 48000)
+    audio = np.zeros((n, max_samples), np.float32)
+    lens = np.zeros(n, np.int64)
+    rates = np.zeros(n, np.int32)
+    if lib is None:
+        for i, p in enumerate(paths):
+            a, r = read_flac(p, max_seconds)
+            audio[i, : len(a)] = a[:max_samples]
+            lens[i] = min(len(a), max_samples)
+            rates[i] = r
+        return audio, lens, rates
+    rcs = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.asr_read_flac_batch(
+        arr, n, audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads or os.cpu_count() or 2)
+    bad = np.nonzero(rcs)[0]
+    if len(bad):
+        raise IOError(f"batch FLAC decode failed for {[paths[i] for i in bad]}")
     return audio, lens, rates
 
 

@@ -104,3 +104,62 @@ def test_arpa_dense_parity(tmp_path):
     assert order == 3
     assert native_table.shape == py_table.shape
     np.testing.assert_allclose(native_table, py_table, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(subframe="verbatim"),
+    dict(subframe="constant"),
+    dict(subframe="fixed", order=4, partition_order=2, blocksize=2048),
+    dict(subframe="lpc", order=3, lpc_coefs=[45, -23, 10]),
+    dict(subframe="fixed", order=2, escape=True),
+    dict(subframe="fixed", order=1, wasted=3),
+    dict(subframe="fixed", order=2, stereo_mode="mid_side"),
+    dict(subframe="fixed", order=2, stereo_mode="left_side"),
+    dict(subframe="fixed", order=2, bps=24),
+])
+def test_flac_cc_matches_python_oracle(tmp_path, kw):
+    """C++ FLAC decoder bit-identical to the data/flac.py oracle."""
+    from pytorch_asr_tpu.data import flac
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    ch = 2 if "stereo_mode" in kw else 1
+    bps = kw.get("bps", 16)
+    lim = 1 << (bps - 1)
+    t = np.arange(n)
+    pcm = np.clip((0.4 * lim * np.sin(t / 40.0)).astype(np.int64)[:, None]
+                  + rng.integers(-lim // 64, lim // 64, size=(n, ch)),
+                  -lim, lim - 1)
+    if kw.get("subframe") == "constant":
+        pcm = np.full((n, ch), -7, np.int64)
+    if kw.get("wasted"):
+        pcm = (pcm >> kw["wasted"]) << kw["wasted"]
+    if ch == 1:
+        pcm = pcm[:, 0]
+    path = str(tmp_path / "t.flac")
+    flac.write_flac(path, pcm, 16000, **kw)
+    a_py, sr_py = flac.read_flac(path)
+    a_cc, sr_cc = native.read_flac(path)
+    assert sr_py == sr_cc == 16000
+    np.testing.assert_array_equal(a_py, a_cc)
+
+
+def test_flac_batch_and_errors(tmp_path):
+    from pytorch_asr_tpu.data import flac
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(5):
+        pcm = rng.integers(-2000, 2000, size=1000 + 100 * i).astype(np.int64)
+        p = str(tmp_path / f"b{i}.flac")
+        flac.write_flac(p, pcm, 16000, subframe="fixed", order=2)
+        paths.append(p)
+    audio, lens, rates = native.read_flac_batch(paths, max_seconds=1.0)
+    assert list(lens) == [1000 + 100 * i for i in range(5)]
+    assert all(r == 16000 for r in rates)
+
+    bad = str(tmp_path / "bad.flac")
+    with open(bad, "wb") as fh:
+        fh.write(b"fLaC" + b"\x00" * 10)
+    with pytest.raises(IOError):
+        native.read_flac(bad)
