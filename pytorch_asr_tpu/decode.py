@@ -15,10 +15,11 @@ from pytorch_asr_tpu.train import parse_args
 
 def main(argv: list[str] | None = None) -> None:
     cfg, _steps, runtime = parse_args(sys.argv[1:] if argv is None else argv)
+    dump_path = runtime.pop("dump_path", None)
     from pytorch_asr_tpu.training.trainer import Trainer
 
     trainer = Trainer(cfg, **runtime)
-    result = trainer.decode_eval()
+    result = trainer.decode_eval(dump_path=dump_path)
     print(result)
 
 

@@ -80,8 +80,14 @@ def make_decode_fn(trainer, lm_table=None):
     raise ValueError(f"unknown decode method {method!r}")
 
 
-def decode_dataset(trainer, max_batches: int | None = None) -> dict:
-    """Full-dataset decode with the configured method; returns metrics."""
+def decode_dataset(trainer, max_batches: int | None = None,
+                   dump_path: str | None = None) -> dict:
+    """Full-dataset decode with the configured method; returns metrics.
+
+    ``dump_path``: optional output prefix; writes ``<prefix>.ref.tsv`` and
+    ``<prefix>.hyp.tsv`` (``id<TAB>text`` lines), scoreable offline with
+    ``python -m pytorch_asr_tpu.eval_wer <prefix>.ref.tsv <prefix>.hyp.tsv``.
+    """
     cfg = trainer.cfg
     lm_table = _load_lm_table(cfg)
     decode_fn = make_decode_fn(trainer, lm_table)
@@ -104,6 +110,11 @@ def decode_dataset(trainer, max_batches: int | None = None) -> dict:
             refs.append(tok.decode(
                 host_batch["tokens"][b, : host_batch["token_len"][b]]))
     dt = time.perf_counter() - t0
+    if dump_path:
+        for suffix, lines in ((".ref.tsv", refs), (".hyp.tsv", hyps)):
+            with open(dump_path + suffix, "w") as fh:
+                for i, text in enumerate(lines):
+                    fh.write(f"utt{i:06d}\t{text}\n")
     result = {
         "method": cfg.decode.method,
         "wer": corpus_wer(refs, hyps),

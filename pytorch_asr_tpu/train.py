@@ -31,12 +31,14 @@ def parse_args(argv: list[str]):
         "metrics_path": overrides.pop("metrics_path", None),
         "tensorboard_dir": overrides.pop("tb_dir", None),
         "init_from_torch": overrides.pop("init_from_torch", None),
+        "dump_path": overrides.pop("dump_path", None),  # decode CLI only
     }
     return get_config(name, **overrides), steps, runtime
 
 
 def main(argv: list[str] | None = None) -> None:
     cfg, steps, runtime = parse_args(sys.argv[1:] if argv is None else argv)
+    runtime.pop("dump_path", None)
     from pytorch_asr_tpu.training.trainer import Trainer
 
     trainer = Trainer(cfg, **runtime)

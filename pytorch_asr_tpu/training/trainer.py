@@ -144,14 +144,16 @@ class Trainer:
         return merged
 
     # ------------------------------------------------------------------- eval
-    def decode_eval(self, max_batches: int | None = None) -> dict:
+    def decode_eval(self, max_batches: int | None = None,
+                    dump_path: str | None = None) -> dict:
         """Run the decode method named by cfg.decode over the eval set."""
         method = self.cfg.decode.method
         if method == "greedy":
             return self.evaluate(max_batches=max_batches)
         from pytorch_asr_tpu.decoding.driver import decode_dataset
 
-        return decode_dataset(self, max_batches=max_batches)
+        return decode_dataset(self, max_batches=max_batches,
+                              dump_path=dump_path)
 
     def evaluate(self, max_batches: int | None = None) -> dict:
         """Greedy-decode WER over the eval dataset."""

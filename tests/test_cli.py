@@ -57,3 +57,31 @@ def test_train_cli_runs_steps(tmp_path):
     events = [json.loads(l) for l in metrics.read_text().splitlines()]
     kinds = {e["event"] for e in events}
     assert "train" in kinds and "eval" in kinds
+
+
+def test_eval_wer_cli(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    ref = tmp_path / "ref.txt"
+    hyp = tmp_path / "hyp.txt"
+    ref.write_text("hello world\nbeam search decode\n")
+    hyp.write_text("hello word\nbeam search decode\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run(
+        [sys.executable, "-m", "pytorch_asr_tpu.eval_wer", str(ref), str(hyp)],
+        env=env, capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["num_utts"] == 2 and abs(rec["wer"] - 0.2) < 1e-9
+
+    # id-aligned, order-independent
+    ref.write_text("u1\thello world\nu2\tbeam search decode\n")
+    hyp.write_text("u2\tbeam search decode\nu1\thello word\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "pytorch_asr_tpu.eval_wer", str(ref), str(hyp)],
+        env=env, capture_output=True, text=True)
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert abs(rec["wer"] - 0.2) < 1e-9
