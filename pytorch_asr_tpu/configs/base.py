@@ -33,6 +33,13 @@ class FrontendConfig:
     sa_freq_width: int = 27
     sa_time_masks: int = 2
     sa_time_fraction: float = 0.05
+    # On-device waveform augmentation (train-time; frontend/augment.py).
+    # The reference genre does these on host via sox; here they run inside
+    # the jitted step on the raw waveform.
+    waveform_augment: bool = False
+    wa_speed_range: Tuple[float, float] = (0.85, 1.15)
+    wa_gain_db: Tuple[float, float] = (-6.0, 6.0)
+    wa_noise_snr_db: Tuple[float, float] = (15.0, 40.0)
 
 
 @dataclass(frozen=True)
@@ -47,6 +54,8 @@ class DataConfig:
     bucket_audio_lens: Tuple[int, ...] = (48000, 96000, 160000, 240000, 320000)
     bucket_label_lens: Tuple[int, ...] = (96, 192, 320, 480, 640)
     shuffle_seed: int = 0
+    # SortaGrad (Deep Speech 2): first pass in ascending length order.
+    sortagrad: bool = False
     synthetic_num_utts: int = 128   # used when librispeech_root == ""
     # Optional target duration range for the synthetic corpus; 0 = default
     # word-count range (data/synthetic.py).

@@ -51,4 +51,5 @@ def build_grain_iterator(cfg: DataConfig, sample_rate: int,
         corpus, batch_size=cfg.batch_size,
         bucket_audio_lens=cfg.bucket_audio_lens,
         bucket_label_lens=cfg.bucket_label_lens,
-        seed=cfg.shuffle_seed, num_shards=num_shards, shard_index=shard_index)
+        seed=cfg.shuffle_seed, num_shards=num_shards, shard_index=shard_index,
+        sortagrad=cfg.sortagrad)

@@ -53,6 +53,7 @@ class GrainBucketedIterator:
         num_shards: int = 1,
         shard_index: int = 0,
         tokenizer: CharTokenizer | None = None,
+        sortagrad: bool = False,
     ) -> None:
         self.tokenizer = tokenizer or CharTokenizer()
         self.batch_size = batch_size
@@ -60,6 +61,16 @@ class GrainBucketedIterator:
         ds = grain.MapDataset.source(_CorpusSource(corpus))
         if num_shards > 1:
             ds = ds[shard_index::num_shards]
+        # SortaGrad (Deep Speech 2 curriculum): the first pass over the data
+        # runs in ascending audio-length order; shuffled epochs follow.
+        self._iter0 = None
+        if sortagrad:
+            order = np.argsort([len(ds[i]["audio"]) for i in range(len(ds))],
+                               kind="stable")
+            sorted_ds = grain.MapDataset.source(
+                _CorpusSource([(ds[int(i)]["audio"], ds[int(i)]["text"])
+                               for i in order]))
+            self._iter0 = iter(sorted_ds.to_iter_dataset())
         ds = ds.shuffle(seed=seed).repeat()
         self._iter = iter(ds.to_iter_dataset())
         self._buffers: list[list[tuple[np.ndarray, np.ndarray]]] = [
@@ -71,7 +82,14 @@ class GrainBucketedIterator:
 
     def __next__(self) -> dict[str, np.ndarray]:
         while True:
-            ex = next(self._iter)
+            if self._iter0 is not None:
+                try:
+                    ex = next(self._iter0)
+                except StopIteration:
+                    self._iter0 = None
+                    continue
+            else:
+                ex = next(self._iter)
             audio = np.asarray(ex["audio"], np.float32)
             toks = self.tokenizer.encode(str(ex["text"]))
             bi = assign_bucket(self.buckets, len(audio), len(toks))
@@ -87,6 +105,8 @@ class GrainBucketedIterator:
     def get_state(self) -> dict[str, Any]:
         return {
             "grain": self._iter.get_state(),
+            "grain0": (self._iter0.get_state()
+                       if self._iter0 is not None else None),
             "buffers": [
                 [(a.tolist(), t.tolist()) for a, t in buf] for buf in self._buffers
             ],
@@ -94,6 +114,11 @@ class GrainBucketedIterator:
 
     def set_state(self, state: dict[str, Any]) -> None:
         self._iter.set_state(state["grain"])
+        g0 = state.get("grain0")
+        if g0 is None:
+            self._iter0 = None
+        elif self._iter0 is not None:
+            self._iter0.set_state(g0)
         self._buffers = [
             [(np.asarray(a, np.float32), np.asarray(t, np.int32)) for a, t in buf]
             for buf in state["buffers"]

@@ -79,6 +79,16 @@ class ASRModel(nn.Module):
         return features.log_mel(audio, audio_len, self.frontend_cfg)
 
     def encode(self, audio: jax.Array, audio_len: jax.Array, train: bool = False):
+        if train and self.frontend_cfg.waveform_augment:
+            from pytorch_asr_tpu.frontend.augment import (
+                WaveformAugmentConfig, augment_waveform)
+
+            wa_cfg = WaveformAugmentConfig(
+                speed_range=self.frontend_cfg.wa_speed_range,
+                gain_db_range=self.frontend_cfg.wa_gain_db,
+                noise_snr_db_range=self.frontend_cfg.wa_noise_snr_db)
+            audio, audio_len = augment_waveform(
+                self.make_rng("dropout"), audio, audio_len, wa_cfg)
         feats, feat_len = self.compute_features(audio, audio_len)
         if train and self.frontend_cfg.specaugment:
             from pytorch_asr_tpu.frontend.specaugment import (

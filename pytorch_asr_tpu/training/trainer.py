@@ -49,6 +49,7 @@ class Trainer:
         # Training stream: checkpointable grain iterator, per-host sharded
         # (falls back to the in-memory bucketed iterator when a dataset object
         # was handed in explicitly, e.g. by tests).
+        self._mem_iter = None
         if explicit_dataset:
             self.train_iter = None
         else:
@@ -87,8 +88,14 @@ class Trainer:
     # ------------------------------------------------------------------ train
     def train(self, num_steps: int, batches: Iterator[dict] | None = None) -> dict:
         cfg = self.cfg
-        it = batches or self.train_iter or self.dataset.repeat_batches(
-            seed=cfg.data.shuffle_seed)
+        # Cache the fallback iterator: rebuilding it per train() call would
+        # restart the (same-seed) epoch stream every eval_every chunk.
+        if batches is None and self.train_iter is None:
+            if self._mem_iter is None:
+                self._mem_iter = self.dataset.repeat_batches(
+                    seed=cfg.data.shuffle_seed, sortagrad=cfg.data.sortagrad)
+            batches = self._mem_iter
+        it = batches or self.train_iter
         sr = cfg.frontend.sample_rate
         last = {}
         self.throughput.reset()
