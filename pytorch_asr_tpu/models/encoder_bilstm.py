@@ -75,15 +75,16 @@ class LSTMDirection(nn.Module):
         # Forget-gate bias 1.0 (standard LSTM training stabilizer).
         b = self.param("bias", _lstm_bias_init, (4 * H,), jnp.float32)
 
-        xproj = (x.astype(self.dtype) @ wih.astype(self.dtype)).astype(jnp.float32) + b
-
         if self.use_pallas and jax.default_backend() == "tpu":
+            # Fully-fused kernel: input projection + recurrence in one Pallas
+            # program, in-kernel direction reversal (ops/lstm_pallas.py).
             from pytorch_asr_tpu.ops.lstm_pallas import lstm_seq
 
-            xp = jnp.flip(xproj, axis=1) if self.reverse else xproj
-            hs = lstm_seq(xp, whh, lengths, self.reverse)      # (B, T, H)
-            out = jnp.flip(hs, axis=1) if self.reverse else hs
+            out = lstm_seq(x.astype(self.dtype), wih.astype(self.dtype),
+                           whh, b, lengths, self.reverse)      # (B, T, H) f32
         else:
+            xproj = (x.astype(self.dtype) @ wih.astype(self.dtype)
+                     ).astype(jnp.float32) + b
             xproj = jnp.swapaxes(xproj, 0, 1)                  # (T, B, 4H)
             t_idx = jnp.arange(T)[:, None]
             if self.reverse:
@@ -119,7 +120,12 @@ def conv_out_len(length, kernel: int, stride: int):
 
 
 class ConvSubsampler(nn.Module):
-    """Strided 2-D conv stack over (time, freq); reduces time by prod(strides)."""
+    """Strided 2-D conv stack over (time, freq); reduces time by prod(strides).
+
+    Stays on XLA's native conv: an im2col+matmul rewrite was measured 10x
+    SLOWER on v5e (strided-slice patch extraction dominates; 16 ms vs 1.6 ms
+    fwd at B=64), so nn.Conv it is.
+    """
 
     cfg: BiLSTMEncoderConfig
     dtype: Any = jnp.float32
@@ -130,11 +136,11 @@ class ConvSubsampler(nn.Module):
         lengths = feat_len
         kt, kf = self.cfg.conv_kernel
         pt, pf = (kt - 1) // 2, (kf - 1) // 2
-        for ch in self.cfg.conv_channels:
+        for i, ch in enumerate(self.cfg.conv_channels):
             x = nn.Conv(ch, kernel_size=self.cfg.conv_kernel,
                         strides=self.cfg.conv_stride,
                         padding=((pt, pt), (pf, pf)),
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype, name=f"Conv_{i}")(x)
             x = nn.relu(x)
             lengths = conv_out_len(lengths, kt, self.cfg.conv_stride[0])
             # Re-mask every layer: conv bias + relu make padded frames nonzero,

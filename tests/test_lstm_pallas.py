@@ -1,4 +1,9 @@
-"""Fused Pallas LSTM parity vs the lax.scan reference (values + grads)."""
+"""Fused Pallas LSTM parity vs the lax.scan reference (values + grads).
+
+The kernel fuses the input projection (x @ wih + bias) and the recurrence,
+and reverses in-kernel; the reference composes the same pieces from jnp ops
+and the _lstm_scan cell.
+"""
 
 import numpy as np
 import pytest
@@ -11,17 +16,20 @@ from pytorch_asr_tpu.models.encoder_bilstm import _lstm_scan
 from pytorch_asr_tpu.ops.lstm_pallas import lstm_seq
 
 
-def _case(seed, B=4, T=40, H=16, varied=True):
+def _case(seed, B=4, T=40, D=24, H=16, varied=True):
     rng = np.random.default_rng(seed)
-    xproj = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32) * 0.5)
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32) * 0.5)
+    wih = jnp.asarray(rng.standard_normal((D, 4 * H)).astype(np.float32) * 0.3)
     whh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal(4 * H).astype(np.float32) * 0.1)
     lengths = jnp.asarray(
         rng.integers(T // 2, T + 1, size=B).astype(np.int32) if varied
         else np.full(B, T, np.int32))
-    return xproj, whh, lengths
+    return x, wih, whh, bias, lengths
 
 
-def _ref(xproj, whh, lengths, reverse):
+def _scan_dir(xproj, whh, lengths, reverse):
+    """(B, T, 4H) projected inputs -> (B, T, H) via the scan cell."""
     T = xproj.shape[1]
     xp = jnp.swapaxes(xproj, 0, 1)
     tidx = jnp.arange(T)[:, None]
@@ -30,39 +38,62 @@ def _ref(xproj, whh, lengths, reverse):
     return jnp.swapaxes(hs, 0, 1)
 
 
+def _ref(x, wih, whh, bias, lengths, reverse):
+    xproj = x @ wih + bias
+    if reverse:
+        hs = _scan_dir(jnp.flip(xproj, axis=1), whh, lengths, reverse=True)
+        return jnp.flip(hs, axis=1)
+    return _scan_dir(xproj, whh, lengths, reverse=False)
+
+
 @pytest.mark.parametrize("reverse", [False, True])
 @pytest.mark.parametrize("seed", [0, 1])
 def test_lstm_pallas_forward_parity(seed, reverse):
-    xproj, whh, lengths = _case(seed)
+    x, wih, whh, bias, lengths = _case(seed)
     with pltpu.force_tpu_interpret_mode():
-        ours = lstm_seq(xproj, whh, lengths, reverse)
-    ref = _ref(xproj, whh, lengths, reverse)
+        ours = lstm_seq(x, wih, whh, bias, lengths, reverse)
+    ref = _ref(x, wih, whh, bias, lengths, reverse)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("reverse", [False, True])
 def test_lstm_pallas_grad_parity(reverse):
-    xproj, whh, lengths = _case(3, B=2, T=24, H=8)
+    x, wih, whh, bias, lengths = _case(3, B=2, T=24, D=12, H=8)
 
-    def loss_pallas(xp, w):
-        return jnp.sum(jnp.tanh(lstm_seq(xp, w, lengths, reverse)))
+    def loss_pallas(x_, wih_, whh_, b_):
+        return jnp.sum(jnp.tanh(lstm_seq(x_, wih_, whh_, b_, lengths, reverse)))
 
-    def loss_ref(xp, w):
-        return jnp.sum(jnp.tanh(_ref(xp, w, lengths, reverse)))
+    def loss_ref(x_, wih_, whh_, b_):
+        return jnp.sum(jnp.tanh(_ref(x_, wih_, whh_, b_, lengths, reverse)))
 
     with pltpu.force_tpu_interpret_mode():
-        gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(xproj, whh)
-    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(xproj, whh)
-    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
-                               rtol=1e-4, atol=1e-4)
+        gs_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, wih, whh, bias)
+    gs_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, wih, whh, bias)
+    for name, p, r in zip(("dx", "dwih", "dwhh", "dbias"), gs_p, gs_r):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
 
 
 def test_lstm_pallas_zero_length_rows():
-    xproj, whh, lengths = _case(5)
+    x, wih, whh, bias, lengths = _case(5)
     lengths = lengths.at[0].set(0)
     with pltpu.force_tpu_interpret_mode():
-        out = lstm_seq(xproj, whh, lengths, False)
+        out = lstm_seq(x, wih, whh, bias, lengths, False)
     assert np.all(np.asarray(out)[0] == 0)
+
+
+def test_lstm_pallas_chunk_boundary_lengths():
+    """Lengths exactly at / around the TIME_CHUNK boundary."""
+    from pytorch_asr_tpu.ops.lstm_pallas import TIME_CHUNK
+
+    T = 2 * TIME_CHUNK
+    x, wih, whh, bias, _ = _case(7, B=4, T=T)
+    lengths = jnp.asarray([TIME_CHUNK - 1, TIME_CHUNK, TIME_CHUNK + 1, T],
+                          jnp.int32)
+    for reverse in (False, True):
+        with pltpu.force_tpu_interpret_mode():
+            ours = lstm_seq(x, wih, whh, bias, lengths, reverse)
+        ref = _ref(x, wih, whh, bias, lengths, reverse)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
