@@ -329,6 +329,7 @@ bool decode_frame(BitReader& br, const StreamInfo& si,
   if (crc8(br.data + start, br.byte - 1 - start) != hdr_crc) return false;
 
   int nch = ch_code <= 7 ? ch_code + 1 : 2;
+  if (nch != si.channels) return false;        // frame vs STREAMINFO mismatch
   if ((int)chans.size() < nch) chans.resize(nch);
   std::vector<int64_t> a, b;
   if (ch_code <= 7) {

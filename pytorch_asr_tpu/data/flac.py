@@ -161,6 +161,8 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
     if br.read(1):
         wasted = 1 + br.read_unary()
     eff = bps - wasted
+    if eff <= 0:
+        raise FlacError(f"wasted bits {wasted} >= sample size {bps}")
     if t == 0:                                         # CONSTANT
         v = br.read_signed(eff)
         out = np.full(blocksize, v, dtype=np.int64)
@@ -251,8 +253,11 @@ def _decode_frame(br: _BitReader, info: dict) -> np.ndarray:
     if _crc8(hdr) != crc8:
         raise FlacError("frame header CRC-8 mismatch")
 
+    nch = ch_code + 1 if ch_code <= 7 else 2
+    if nch != info["channels"]:
+        raise FlacError(f"frame channel count {nch} != STREAMINFO "
+                        f"{info['channels']}")
     if ch_code <= 7:
-        nch = ch_code + 1
         chans = [_decode_subframe(br, blocksize, bps) for _ in range(nch)]
     elif ch_code == 8:                                 # left/side
         left = _decode_subframe(br, blocksize, bps)
@@ -277,8 +282,8 @@ def _decode_frame(br: _BitReader, info: dict) -> np.ndarray:
     return np.stack(chans, axis=1)
 
 
-def decode_flac_bytes(data: bytes) -> tuple[np.ndarray, int]:
-    """Full FLAC stream -> (int32 samples (N, channels), sample_rate)."""
+def decode_flac_full(data: bytes) -> tuple[np.ndarray, int, dict]:
+    """Full FLAC stream -> (int32 samples (N, channels), sample_rate, info)."""
     if data[:4] != b"fLaC":
         raise FlacError("not a FLAC stream (missing fLaC marker)")
     pos = 4
@@ -316,26 +321,26 @@ def decode_flac_bytes(data: bytes) -> tuple[np.ndarray, int]:
     out = np.concatenate(frames, axis=0) if frames else np.zeros((0, info["channels"]))
     if info["total"]:
         out = out[: info["total"]]
-    return out.astype(np.int32), info["sr"]
+    return out.astype(np.int32), info["sr"], info
+
+
+def decode_flac_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Full FLAC stream -> (int32 samples (N, channels), sample_rate)."""
+    pcm, sr, _ = decode_flac_full(data)
+    return pcm, sr
 
 
 def read_flac(path: str) -> tuple[np.ndarray, int]:
     """Decode a FLAC file -> (float32 mono waveform in [-1, 1], sample_rate)."""
     with open(path, "rb") as fh:
         data = fh.read()
-    pcm, sr = decode_flac_bytes(data)
-    # bits-per-sample from STREAMINFO governs scaling
-    bps = _stream_bps(data)
-    x = pcm.astype(np.float32) / float(1 << (bps - 1))
+    # scaling uses the SAME STREAMINFO the decoder found (STREAMINFO need not
+    # be the first metadata block)
+    pcm, sr, info = decode_flac_full(data)
+    x = pcm.astype(np.float32) / float(1 << (info["bps"] - 1))
     if x.ndim > 1 and x.shape[1] > 1:
         x = x.mean(axis=1)
     return x.reshape(-1), sr
-
-
-def _stream_bps(data: bytes) -> int:
-    br = _BitReader(data, 8)                           # fLaC + block header
-    br.read(16); br.read(16); br.read(24); br.read(24); br.read(20); br.read(3)
-    return br.read(5) + 1
 
 
 # ------------------------------------------------------------------- encoder
@@ -551,9 +556,16 @@ def write_flac(path: str, pcm: np.ndarray, sample_rate: int, bps: int = 16,
             bw2.write(b, 8)
         bw2.write(_crc8(hdr), 8)
 
+        # A short final block may not satisfy the partitioning rules
+        # (blocksize divisible by 2^po, blocksize>>po > order); fall back to
+        # a single partition there so the frame stays decodable.
+        po = partition_order
+        if bsz % (1 << po) or (po > 0 and (bsz >> po) <= order):
+            po = 0
+
         def enc(x, b):
             _encode_subframe(bw2, x, b, subframe, order=order,
-                             partition_order=partition_order, escape=escape,
+                             partition_order=po, escape=escape,
                              lpc_coefs=lpc_coefs, lpc_shift=lpc_shift,
                              wasted=wasted)
 

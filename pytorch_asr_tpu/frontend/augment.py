@@ -38,14 +38,22 @@ def speed_perturb(rng: jax.Array, audio: jax.Array, audio_len: jax.Array,
                   lo: float, hi: float) -> tuple[jax.Array, jax.Array]:
     """Per-utterance linear-interp resample by a factor in [lo, hi].
 
-    factor > 1 speeds up (shorter output).  Output stays (B, A); new lengths
-    are len/factor clipped to A; samples beyond the new length are zeroed.
+    factor > 1 speeds up (shorter output).  Output stays (B, A); per-utterance
+    factors are clamped to >= len/A so a slow-down never stretches past the
+    buffer (which would silently truncate the tail while the CTC targets keep
+    the full transcript); bucket slack absorbs the stretch otherwise.
     """
     B, A = audio.shape
     factor = jax.random.uniform(rng, (B, 1), minval=lo, maxval=hi)
-    pos = jnp.arange(A)[None, :] * factor                  # (B, A) source pos
-    lob = jnp.floor(pos).astype(jnp.int32)
-    frac = (pos - lob).astype(audio.dtype)
+    factor = jnp.maximum(factor, audio_len[:, None].astype(jnp.float32) / A)
+    # Keep the exact integer index separate: forming t*factor directly in
+    # float32 loses sub-sample precision for large t (ulp(1e6) = 1/16 sample);
+    # t + t*(factor-1) bounds the error by ulp(0.15*t) instead.
+    t = jnp.arange(A)[None, :].astype(jnp.float32)
+    off = t * (factor - 1.0)
+    ofl = jnp.floor(off)
+    frac = (off - ofl).astype(audio.dtype)
+    lob = jnp.arange(A)[None, :] + ofl.astype(jnp.int32)
     lob = jnp.clip(lob, 0, A - 1)
     hib = jnp.clip(lob + 1, 0, A - 1)
     x0 = jnp.take_along_axis(audio, lob, axis=1)

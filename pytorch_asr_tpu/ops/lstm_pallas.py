@@ -154,7 +154,7 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
         j = k if reverse else (tc - 1 - k)
         t = chunk * tc + j
         i, f, g, o = act_sc[0, j], act_sc[1, j], act_sc[2, j], act_sc[3, j]
-        h_prev, c_prev = hp_sc[j], cp_sc[j]
+        c_prev = cp_sc[j]
         c_t = f * c_prev + i * g
         tanh_ct = jnp.tanh(c_t)
         dh_tot = dh + gt_sc[j]
@@ -168,8 +168,6 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
         m = (t >= start) & (t < end)
         dgates = jnp.where(m, dgates, 0.0)
         dg_sc[j] = dgates
-        dwhh_sc[:] += jnp.dot(h_prev.T, dgates,
-                              preferred_element_type=jnp.float32)
         dh = jnp.where(m, jnp.dot(dgates, whh.T,
                                   preferred_element_type=jnp.float32), dh_tot)
         dc = jnp.where(m, dc_tot * f, dc)
@@ -184,6 +182,11 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
                     preferred_element_type=jnp.float32).reshape(tc, B, D)
     dx_ref[:] = jnp.swapaxes(dx_tb, 0, 1).astype(dx_ref.dtype)
     dwih_sc[:] += jnp.dot(x_tb.astype(jnp.float32).T, dgs,
+                          preferred_element_type=jnp.float32)
+    # dwhh as ONE big post-loop matmul: both operands are already buffered
+    # t-major, and a per-step (H,B)@(B,4H) inside the serial loop would sit
+    # on the recurrence critical path.
+    dwhh_sc[:] += jnp.dot(hp_sc[:].reshape(tc * B, H).T, dgs,
                           preferred_element_type=jnp.float32)
     db_sc[:] += dgs.sum(axis=0)[None, :]
 

@@ -93,7 +93,6 @@ _LSTM_RE = re.compile(
 def import_torch_bilstm_ctc(state_dict: Mapping[str, Any],
                             num_mel_bins: int,
                             vocab_size: int | None = None,
-                            time_stride: int = 2,
                             freq_stride: int = 2) -> dict[str, Any]:
     """Convert a DS2-class torch state_dict to an ASRModel flax param tree.
 
@@ -105,7 +104,8 @@ def import_torch_bilstm_ctc(state_dict: Mapping[str, Any],
       num_mel_bins: frontend mel bins (needed to recover the conv output's
         frequency extent at the conv->LSTM seam).
       vocab_size: output vocab; used to sanity-check the discovered CTC head.
-      time_stride/freq_stride: per-conv-layer strides (config conv_stride).
+      freq_stride: per-conv-layer frequency stride (conv_stride[1]); only the
+        frequency extent matters at the conv->LSTM seam.
     """
     items = list(state_dict.items())
 
@@ -162,6 +162,11 @@ def import_torch_bilstm_ctc(state_dict: Mapping[str, Any],
         raise TorchImportError(
             "state_dict LSTM is unidirectional; BiLSTMEncoder needs "
             "bidirectional=True reference checkpoints")
+    missing_fwd = [i for i in range(num_layers) if (i, False) not in layers]
+    if missing_fwd:
+        raise TorchImportError(
+            f"state_dict LSTM is missing forward-direction layer(s) "
+            f"{missing_fwd}")
 
     perm0 = first_layer_input_perm(out_ch, freq)
     for i in range(num_layers):

@@ -135,7 +135,6 @@ class Trainer:
             load_torch_checkpoint(path),
             num_mel_bins=self.cfg.frontend.n_mels,
             vocab_size=self.tokenizer.vocab_size,
-            time_stride=enc_cfg.conv_stride[0],
             freq_stride=enc_cfg.conv_stride[1])
         merged = {**params, **imported}
         for sub in imported:

@@ -28,24 +28,31 @@ def test_speed_perturb_shifts_frequency():
     audio = jnp.asarray(_sine(440.0, n))[None, :]
     lens = jnp.asarray([n], jnp.int32)
     rng = jax.random.PRNGKey(0)
-    # pin the factor by a degenerate range
-    for f in (0.9, 1.1):
-        out, new_len = speed_perturb(rng, audio, lens, f, f)
-        assert out.shape == audio.shape
-        # slow-down is clipped to the static buffer (bucket slack normally
-        # absorbs it; a full buffer truncates the tail)
-        assert abs(int(new_len[0]) - min(int(n / f), n)) <= 1
-        seg = np.asarray(out[0, : int(new_len[0])])
-        spec = np.abs(np.fft.rfft(seg))
-        peak_hz = np.argmax(spec) * SR / len(seg)
-        assert abs(peak_hz - 440.0 * f) < 5.0, (f, peak_hz)
-        # beyond the new length the buffer is zeroed
-        assert np.all(np.asarray(out[0, int(new_len[0]):]) == 0.0)
+    # speed-up on a full buffer: frequency scales by f, length by 1/f
+    f = 1.1
+    out, new_len = speed_perturb(rng, audio, lens, f, f)
+    assert out.shape == audio.shape
+    assert abs(int(new_len[0]) - int(n / f)) <= 1
+    seg = np.asarray(out[0, : int(new_len[0])])
+    peak_hz = np.argmax(np.abs(np.fft.rfft(seg))) * SR / len(seg)
+    assert abs(peak_hz - 440.0 * f) < 5.0, peak_hz
+    # beyond the new length the buffer is zeroed
+    assert np.all(np.asarray(out[0, int(new_len[0]):]) == 0.0)
 
-    # an utterance shorter than the buffer gets the full slow-down extension
+    # slow-down on a FULL buffer is clamped to a no-op: stretching past the
+    # static buffer would truncate audio against full-length CTC targets
+    out, nl = speed_perturb(rng, audio, lens, 0.9, 0.9)
+    assert int(nl[0]) == n
+    peak_hz = np.argmax(np.abs(np.fft.rfft(np.asarray(out[0])))) * SR / n
+    assert abs(peak_hz - 440.0) < 5.0
+
+    # an utterance with buffer slack gets the true slow-down extension
     short = jnp.asarray([n // 2], jnp.int32)
-    _, nl = speed_perturb(rng, audio, short, 0.9, 0.9)
+    out, nl = speed_perturb(rng, audio, short, 0.9, 0.9)
     assert abs(int(nl[0]) - int(n // 2 / 0.9)) <= 1
+    seg = np.asarray(out[0, : int(nl[0])])
+    peak_hz = np.argmax(np.abs(np.fft.rfft(seg))) * SR / len(seg)
+    assert abs(peak_hz - 440.0 * 0.9) < 5.0
 
 
 def test_gain_perturb_scales():
