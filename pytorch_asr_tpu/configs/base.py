@@ -116,14 +116,22 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class OptimConfig:
-    optimizer: str = "adamw"
+    optimizer: str = "adamw"        # adamw | adam | sgd (DS2-style momentum SGD)
     peak_lr: float = 3e-4
+    # LR schedule: noam (warmup + inv-sqrt) | constant (warmup + flat) |
+    # cosine | exponential (both decay to end_lr_fraction*peak at total_steps).
+    schedule: str = "noam"
+    end_lr_fraction: float = 0.01
     warmup_steps: int = 1000
     total_steps: int = 100_000
     weight_decay: float = 1e-6
     grad_clip_norm: float = 5.0
     b1: float = 0.9
     b2: float = 0.98
+    momentum: float = 0.9           # sgd only
+    # Gradient accumulation: one optimizer update every accum_steps
+    # micro-batches (for large effective batches on few chips).
+    accum_steps: int = 1
 
 
 @dataclass(frozen=True)
@@ -136,6 +144,9 @@ class TrainConfig:
     checkpoint_dir: str = "/tmp/asr_tpu_ckpt"
     keep_checkpoints: int = 3
     remat_encoder: bool = False
+    # Polyak/EMA weight averaging (Chorowski-lab decode practice): eval and
+    # decode use the EMA weights when ema_decay > 0.
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

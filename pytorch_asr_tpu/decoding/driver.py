@@ -100,8 +100,10 @@ def decode_dataset(trainer, max_batches: int | None = None,
             break
         from pytorch_asr_tpu.parallel.mesh import shard_batch
 
+        from pytorch_asr_tpu.training.state import eval_params
+
         batch = shard_batch(trainer.mesh, host_batch)
-        toks, lens = decode_fn(trainer.state.params, batch)
+        toks, lens = decode_fn(eval_params(trainer.state), batch)
         toks, lens = np.asarray(toks), np.asarray(lens)
         valid = host_batch["audio_len"] > 0
         audio_sec += float(host_batch["audio_len"].sum()) / cfg.frontend.sample_rate

@@ -28,26 +28,53 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     rng: jax.Array
+    # Polyak/EMA average of params (None when cfg.train.ema_decay == 0).
+    ema_params: Any = None
+
+
+def eval_params(state: TrainState):
+    """Weights to decode/eval with: the EMA average when maintained."""
+    return state.params if state.ema_params is None else state.ema_params
 
 
 def lr_schedule(cfg: OptimConfig):
-    """Linear warmup then inverse-sqrt decay (Noam-style)."""
+    """Warmup + one of: inv-sqrt (noam), constant, cosine, exponential."""
 
     def fn(step):
         step = jnp.maximum(step, 1).astype(jnp.float32)
         warm = cfg.peak_lr * step / cfg.warmup_steps
-        decay = cfg.peak_lr * jnp.sqrt(cfg.warmup_steps / step)
+        frac = jnp.clip((step - cfg.warmup_steps)
+                        / max(cfg.total_steps - cfg.warmup_steps, 1), 0.0, 1.0)
+        if cfg.schedule == "noam":
+            decay = cfg.peak_lr * jnp.sqrt(cfg.warmup_steps / step)
+        elif cfg.schedule == "constant":
+            decay = cfg.peak_lr
+        elif cfg.schedule == "cosine":
+            floor = cfg.peak_lr * cfg.end_lr_fraction
+            decay = floor + (cfg.peak_lr - floor) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
+        elif cfg.schedule == "exponential":
+            decay = cfg.peak_lr * cfg.end_lr_fraction ** frac
+        else:
+            raise ValueError(f"unknown lr schedule {cfg.schedule!r}")
         return jnp.where(step < cfg.warmup_steps, warm, decay)
 
     return fn
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.adamw(lr_schedule(cfg), b1=cfg.b1, b2=cfg.b2,
-                    weight_decay=cfg.weight_decay),
-    )
+    lr = lr_schedule(cfg)
+    if cfg.optimizer == "adamw":
+        opt = optax.adamw(lr, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "adam":
+        opt = optax.adam(lr, b1=cfg.b1, b2=cfg.b2)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(lr, momentum=cfg.momentum, nesterov=True)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx
 
 
 def build_model(cfg: ExperimentConfig, tokenizer: CharTokenizer | None = None) -> ASRModel:
@@ -78,6 +105,8 @@ def init_train_state(cfg: ExperimentConfig, model: ASRModel,
         params=params,
         opt_state=tx.init(params),
         rng=state_rng,
+        ema_params=jax.tree.map(jnp.copy, params)
+        if cfg.train.ema_decay > 0.0 else None,
     )
 
 
@@ -135,8 +164,13 @@ def make_train_step(cfg: ExperimentConfig, model: ASRModel):
         new_params = optax.apply_updates(state.params, updates)
         aux["grad_norm"] = optax.global_norm(grads)
         aux["lr"] = lr_schedule(cfg.train.optim)(state.step)
+        d = cfg.train.ema_decay
+        new_ema = (jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                state.ema_params, new_params)
+                   if state.ema_params is not None else None)
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  opt_state=new_opt, rng=rng)
+                                  opt_state=new_opt, rng=rng,
+                                  ema_params=new_ema)
         return new_state, aux
 
     return train_step

@@ -23,6 +23,7 @@ from pytorch_asr_tpu.training.metrics import MetricsLogger, Throughput
 from pytorch_asr_tpu.training.state import (
     TrainState,
     build_model,
+    eval_params,
     init_train_state,
     make_eval_step,
     make_train_step,
@@ -75,6 +76,8 @@ class Trainer:
         self.state = self.state.replace(
             params=shard_params(self.mesh, self.state.params),
             opt_state=shard_params(self.mesh, self.state.opt_state),
+            ema_params=shard_params(self.mesh, self.state.ema_params)
+            if self.state.ema_params is not None else None,
         )
         if self._ckpt is not None and self._ckpt.latest_step() is not None:
             self.state = self._ckpt.restore(self.state)
@@ -171,7 +174,7 @@ class Trainer:
             if max_batches is not None and i >= max_batches:
                 break
             batch = shard_batch(self.mesh, host_batch)
-            ids, n = self._eval_step(self.state.params, batch)
+            ids, n = self._eval_step(eval_params(self.state), batch)
             ids, n = np.asarray(ids), np.asarray(n)
             valid = host_batch["audio_len"] > 0
             audio_sec += float(host_batch["audio_len"].sum()) / self.cfg.frontend.sample_rate
