@@ -103,6 +103,12 @@ class LASDecoderConfig:
     location_filters: int = 32
     dropout: float = 0.1
     label_smoothing: float = 0.1
+    # Scheduled sampling (Bengio et al. 2015, used in the Chorowski-lab
+    # attention ASR line): with probability p the teacher token is replaced by
+    # the model's previous argmax prediction; p ramps linearly from 0 to
+    # `scheduled_sampling` over `ss_ramp_steps` optimizer steps.
+    scheduled_sampling: float = 0.0
+    ss_ramp_steps: int = 10_000
 
 
 @dataclass(frozen=True)

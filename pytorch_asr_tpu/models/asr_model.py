@@ -104,7 +104,8 @@ class ASRModel(nn.Module):
         return enc, enc_len
 
     def __call__(self, audio, audio_len, targets=None, target_len=None,
-                 train: bool = False) -> dict[str, Any]:
+                 train: bool = False,
+                 ss_prob: jax.Array | float = 0.0) -> dict[str, Any]:
         enc, enc_len = self.encode(audio, audio_len, train=train)
         out = {
             "enc": enc,
@@ -113,7 +114,8 @@ class ASRModel(nn.Module):
         }
         if self.model_cfg.decoder is not None and targets is not None:
             out["dec_logits"] = self.las(enc, enc_len, targets, target_len,
-                                         train=train).astype(jnp.float32)
+                                         train=train,
+                                         ss_prob=ss_prob).astype(jnp.float32)
         return out
 
     def decoder_step(self, enc, enc_projed, enc_mask, y_prev, state):

@@ -123,20 +123,46 @@ class LASDecoder(nn.Module):
         new_state = DecoderState(jnp.stack(hs), jnp.stack(cs), att, ctx)
         return logits, new_state
 
-    def __call__(self, enc, enc_len, targets, target_len, train: bool = False):
+    def __call__(self, enc, enc_len, targets, target_len, train: bool = False,
+                 ss_prob: jax.Array | float = 0.0):
         """Teacher-forced decode.  targets (B, U) are decoder INPUTS (sos-prefixed).
+
+        ``ss_prob``: scheduled-sampling probability (traced scalar) — each
+        teacher input after step 0 is replaced, per utterance per step, by the
+        model's previous argmax prediction with probability ``ss_prob``.  Only
+        active when the config enables scheduled sampling AND train=True (the
+        no-sampling path stays a plain scan with no RNG cost).
 
         Returns logits (B, U, V) in fp32.
         """
         T = enc.shape[1]
+        B, U = targets.shape
         enc_mask = jnp.arange(T)[None, :] < enc_len[:, None]
         enc_projed = self.project_encoder(enc)
         state = self.init_state(enc, enc_len)
+        use_ss = train and self.cfg.scheduled_sampling > 0.0
 
-        def scan_step(st, y_u):
-            logits, new_st = self.step(enc, enc_projed, enc_mask, y_u, st)
-            return new_st, logits
+        if not use_ss:
+            def scan_step(st, y_u):
+                logits, new_st = self.step(enc, enc_projed, enc_mask, y_u, st)
+                return new_st, logits
 
-        # Plain lax.scan is safe here: step() reads only concrete param arrays.
-        _, logits = jax.lax.scan(scan_step, state, jnp.swapaxes(targets, 0, 1))
+            # Plain lax.scan is safe here: step() reads only concrete params.
+            _, logits = jax.lax.scan(scan_step, state, jnp.swapaxes(targets, 0, 1))
+            return jnp.swapaxes(logits, 0, 1)                   # (B, U, V)
+
+        keys = jax.random.split(self.make_rng("dropout"), U)
+
+        def scan_step_ss(carry, xs):
+            st, prev_pred = carry
+            y_u, key = xs
+            replace = jax.random.bernoulli(key, ss_prob, (B,)) & (prev_pred >= 0)
+            y_in = jnp.where(replace, jnp.maximum(prev_pred, 0), y_u)
+            logits, new_st = self.step(enc, enc_projed, enc_mask, y_in, st)
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (new_st, pred), logits
+
+        init = (state, jnp.full((B,), -1, jnp.int32))
+        _, logits = jax.lax.scan(scan_step_ss, init,
+                                 (jnp.swapaxes(targets, 0, 1), keys))
         return jnp.swapaxes(logits, 0, 1)                       # (B, U, V)

@@ -111,7 +111,7 @@ def init_train_state(cfg: ExperimentConfig, model: ASRModel,
 
 
 def compute_losses(cfg: ExperimentConfig, model: ASRModel, params, batch,
-                   rng, train: bool):
+                   rng, train: bool, step=None):
     """Forward + CTC/CE/joint loss.  Returns (scalar loss, aux dict)."""
     tok = CharTokenizer()
     tokens = batch["tokens"]
@@ -122,9 +122,15 @@ def compute_losses(cfg: ExperimentConfig, model: ASRModel, params, batch,
                                                    tok.sos_id, tok.eos_id)
     else:
         dec_in = dec_out = dec_len = None
+    ss_prob = 0.0
+    if (need_las and train and step is not None
+            and cfg.model.decoder.scheduled_sampling > 0.0):
+        ramp = jnp.clip(step.astype(jnp.float32)
+                        / max(cfg.model.decoder.ss_ramp_steps, 1), 0.0, 1.0)
+        ss_prob = cfg.model.decoder.scheduled_sampling * ramp
     out = model.apply(
         {"params": params}, batch["audio"], batch["audio_len"],
-        targets=dec_in, target_len=dec_len, train=train,
+        targets=dec_in, target_len=dec_len, train=train, ss_prob=ss_prob,
         rngs={"dropout": rng} if train else None,
     )
     aux: dict[str, Any] = {"enc_len": out["enc_len"]}
@@ -157,7 +163,8 @@ def make_train_step(cfg: ExperimentConfig, model: ASRModel):
         rng, step_rng = jax.random.split(state.rng)
 
         def loss_fn(params):
-            return compute_losses(cfg, model, params, batch, step_rng, train=True)
+            return compute_losses(cfg, model, params, batch, step_rng,
+                                  train=True, step=state.step)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -190,3 +190,55 @@ def test_wer():
 def test_encoder_output_dim():
     assert encoder_output_dim(_small_bilstm()) == 64
     assert encoder_output_dim(_small_tcn()) == 32
+
+
+def test_scheduled_sampling_paths():
+    """ss_prob=0 matches plain teacher forcing; ss_prob=1 equals a
+    free-running argmax oracle (step 0 always uses the teacher sos)."""
+    cfg = ModelConfig(
+        encoder=BiLSTMEncoderConfig(conv_channels=(8,), hidden_dim=32,
+                                    num_layers=1, dropout=0.0),
+        decoder=LASDecoderConfig(embed_dim=16, hidden_dim=32, attention_dim=16,
+                                 location_kernel=7, location_filters=4,
+                                 scheduled_sampling=0.5),
+        ctc_weight=0.3,
+        compute_dtype="float32",
+    )
+    # train=True must not perturb the encoder for this equivalence check
+    frontend = FrontendConfig(specaugment=False, waveform_augment=False)
+    model = ASRModel(frontend, cfg, VOCAB)
+    audio, audio_len = _audio_batch()
+    tokens = jnp.asarray(np.array([[1, 2, 3], [4, 5, 6]], np.int32))
+    dec_in, _, dec_len = make_decoder_io(tokens, jnp.asarray([3, 3]), 29, 30)
+    params = model.init(jax.random.PRNGKey(0), audio, audio_len,
+                        targets=dec_in, target_len=dec_len)["params"]
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+
+    teacher = model.apply({"params": params}, audio, audio_len,
+                          targets=dec_in, target_len=dec_len)["dec_logits"]
+    ss0 = model.apply({"params": params}, audio, audio_len, targets=dec_in,
+                      target_len=dec_len, train=True, ss_prob=0.0,
+                      rngs=rngs)["dec_logits"]
+    np.testing.assert_allclose(np.asarray(teacher), np.asarray(ss0),
+                               rtol=1e-5, atol=1e-5)
+
+    ss1 = model.apply({"params": params}, audio, audio_len, targets=dec_in,
+                      target_len=dec_len, train=True, ss_prob=1.0,
+                      rngs=rngs)["dec_logits"]
+
+    # Free-running oracle: feed back argmax predictions after step 0.
+    out = model.apply({"params": params}, audio, audio_len)
+    enc, enc_len = out["enc"], out["enc_len"]
+    enc_projed, enc_mask, state = model.apply(
+        {"params": params}, enc, enc_len, method=model.decoder_begin)
+    y = dec_in[:, 0]
+    logits = []
+    for u in range(dec_in.shape[1]):
+        lg, state = model.apply(
+            {"params": params}, enc, enc_projed, enc_mask, y, state,
+            method=model.decoder_step)
+        logits.append(lg)
+        y = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    oracle = jnp.stack(logits, axis=1)
+    np.testing.assert_allclose(np.asarray(ss1), np.asarray(oracle),
+                               rtol=1e-5, atol=1e-5)

@@ -139,3 +139,27 @@ def test_unknown_optimizer_and_schedule_raise():
         tstate.make_optimizer(OptimConfig(optimizer="adagrad"))
     with pytest.raises(ValueError):
         tstate.lr_schedule(OptimConfig(schedule="nope"))(jnp.asarray(1))
+
+
+def test_scheduled_sampling_train_step_smoke():
+    """Joint model with scheduled sampling ramps and trains under jit."""
+    from pytorch_asr_tpu.configs.base import LASDecoderConfig
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            decoder=LASDecoderConfig(embed_dim=16, hidden_dim=32,
+                                     attention_dim=16, location_kernel=7,
+                                     location_filters=4,
+                                     scheduled_sampling=0.3, ss_ramp_steps=10),
+            ctc_weight=0.5,
+        ),
+    )
+    model, st, batch = _state_and_batch(cfg)
+    step = jax.jit(tstate.make_train_step(cfg, model))
+    for _ in range(3):
+        st, aux = step(st, batch)
+    assert np.isfinite(float(aux["loss"]))
+    assert "ce_loss" in aux and "ctc_loss" in aux
