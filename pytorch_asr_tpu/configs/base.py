@@ -159,8 +159,10 @@ class TrainConfig:
 class DecodeConfig:
     method: str = "greedy"          # greedy | prefix_beam | attention_beam | joint_beam
     beam_size: int = 16
-    # Shallow fusion: score += lm_alpha * logP_LM(word|ctx) + lm_beta per token.
-    lm_path: str = ""               # ARPA n-gram; empty -> no LM
+    # Shallow fusion: score += lm_alpha * logP_LM(c|ctx) + lm_beta per token.
+    # lm_path: '' -> no LM; '*.npz' -> RNN LM (training.lm.save_rnn_lm);
+    # anything else -> ARPA n-gram tensorized to a dense device table.
+    lm_path: str = ""
     lm_alpha: float = 0.5
     lm_beta: float = 1.0
     # attention/joint beam

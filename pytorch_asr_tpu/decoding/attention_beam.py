@@ -103,6 +103,8 @@ def attention_beam_search(
     lm_table: jax.Array | None = None,
     lm_alpha: float = 0.0,
     lm_order: int = 3,
+    rnn_lm: Any = None,          # CharRNNLM for neural shallow fusion
+    rnn_lm_params: Any = None,
 ):
     """Returns (tokens (B, U), lengths (B,), scores (B,))."""
     B, T, D = enc.shape
@@ -137,9 +139,22 @@ def attention_beam_search(
         n_ctx = lm_table.shape[0]
     else:
         lm_ctx = None
+    if rnn_lm is not None:
+        from pytorch_asr_tpu.models.lm_rnn import LMState, lm_step_logp
+
+        st0 = rnn_lm.apply({"params": rnn_lm_params}, B * K,
+                           method=rnn_lm.init_state)
+        logp0, st1 = lm_step_logp(rnn_lm, rnn_lm_params,
+                                  jnp.full((B * K,), sos_id, jnp.int32), st0)
+        Lc, _, Hl = st1.h.shape
+        Vl = logp0.shape[-1]
+        lm_rnn = (st1.h.reshape(Lc, B, K, Hl), st1.c.reshape(Lc, B, K, Hl),
+                  logp0.reshape(B, K, Vl))
+    else:
+        lm_rnn = None
 
     def scan_step(carry, _):
-        hyp, dec_state, y_prev, ctc_state, lm_ctx = carry
+        hyp, dec_state, y_prev, ctc_state, lm_ctx, lm_rnn = carry
         flat = _flatten_state(dec_state)
         logits, new_flat = model.apply(
             {"params": params}, enc_k, enc_projed, enc_mask,
@@ -157,6 +172,8 @@ def attention_beam_search(
             cand = cand + ctc_weight * delta
         if lm_table is not None:
             cand = cand + lm_alpha * lm_table[lm_ctx]
+        if lm_rnn is not None:
+            cand = cand + lm_alpha * lm_rnn[2]
         # never emit blank or sos
         cand = cand.at[:, :, 0].set(NEG_INF)
         cand = cand.at[:, :, sos_id].set(NEG_INF)
@@ -219,11 +236,32 @@ def attention_beam_search(
                                    g_ctx)
         else:
             new_lm_ctx = None
+        if lm_rnn is not None:
+            # gather LM state by parent, then advance beams that emitted
+            gh = jax.vmap(lambda x: _gather_beam(x, parent))(lm_rnn[0])
+            gc = jax.vmap(lambda x: _gather_beam(x, parent))(lm_rnn[1])
+            glogp = _gather_beam(lm_rnn[2], parent)
+            Lc, _, _, Hl = gh.shape
+            Vl = glogp.shape[-1]
+            y_lm = jnp.where(emit, char, 1).reshape(B * K)
+            s_logp, s_st = lm_step_logp(
+                rnn_lm, rnn_lm_params, y_lm,
+                LMState(gh.reshape(Lc, B * K, Hl), gc.reshape(Lc, B * K, Hl)))
+            new_lm_rnn = (
+                jnp.where(emit[None, :, :, None],
+                          s_st.h.reshape(Lc, B, K, Hl), gh),
+                jnp.where(emit[None, :, :, None],
+                          s_st.c.reshape(Lc, B, K, Hl), gc),
+                jnp.where(emit[..., None], s_logp.reshape(B, K, Vl), glogp),
+            )
+        else:
+            new_lm_rnn = None
 
-        return (new_hyp, gdec, new_y, new_ctc, new_lm_ctx), None
+        return (new_hyp, gdec, new_y, new_ctc, new_lm_ctx, new_lm_rnn), None
 
-    (hyp, _, _, _, _), _ = jax.lax.scan(
-        scan_step, (hyp, dec_state, y_prev, ctc_state, lm_ctx), None, length=U)
+    (hyp, _, _, _, _, _), _ = jax.lax.scan(
+        scan_step,
+        (hyp, dec_state, y_prev, ctc_state, lm_ctx, lm_rnn), None, length=U)
 
     # Unfinished beams never produced eos: keep their raw score (they competed
     # fairly); rank with length normalization.

@@ -21,24 +21,41 @@ from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
 from pytorch_asr_tpu.decoding.wer import corpus_cer, corpus_wer
 
 
-def _load_lm_table(cfg):
-    if not cfg.decode.lm_path:
-        return None
+def _load_lm(cfg):
+    """Load the fusion LM named by cfg.decode.lm_path.
+
+    Returns (lm_table, rnn_lm, rnn_lm_params): ``.npz`` paths are RNN LMs
+    saved by training.lm.save_rnn_lm; anything else is parsed as ARPA and
+    tensorized to a dense device table.
+    """
+    path = cfg.decode.lm_path
+    if not path:
+        return None, None, None
+    if path.endswith(".npz"):
+        from pytorch_asr_tpu.training.lm import load_rnn_lm
+
+        rnn_lm, rnn_params = load_rnn_lm(path)
+        return None, rnn_lm, rnn_params
     from pytorch_asr_tpu import native
 
     if native.available():
-        table, _order = native.arpa_dense_table(cfg.decode.lm_path)
-        return jnp.asarray(table)
-    lm = read_arpa(cfg.decode.lm_path)
-    return jnp.asarray(tensorize(lm))
+        table, _order = native.arpa_dense_table(path)
+        return jnp.asarray(table), None, None
+    lm = read_arpa(path)
+    return jnp.asarray(tensorize(lm)), None, None
 
 
-def make_decode_fn(trainer, lm_table=None):
+def _load_lm_table(cfg):
+    return _load_lm(cfg)[0]
+
+
+def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None):
     """Builds a jitted (params, batch) -> (tokens, lengths) decode step."""
     cfg = trainer.cfg
     model = trainer.model
     method = cfg.decode.method
     tok = trainer.tokenizer
+    has_lm = lm_table is not None or rnn_lm is not None
 
     if method == "prefix_beam":
         @jax.jit
@@ -49,9 +66,11 @@ def make_decode_fn(trainer, lm_table=None):
                 out["ctc_logits"], out["enc_len"],
                 beam_size=cfg.decode.beam_size,
                 lm_table=lm_table,
-                lm_alpha=cfg.decode.lm_alpha if lm_table is not None else 0.0,
-                lm_beta=cfg.decode.lm_beta if lm_table is not None else 0.0,
-                max_len=cfg.decode.max_decode_len)
+                lm_alpha=cfg.decode.lm_alpha if has_lm else 0.0,
+                lm_beta=cfg.decode.lm_beta if has_lm else 0.0,
+                max_len=cfg.decode.max_decode_len,
+                rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
+                sos_id=tok.sos_id)
             return toks, lens
 
         return decode_fn
@@ -72,7 +91,8 @@ def make_decode_fn(trainer, lm_table=None):
                 ctc_logits=out["ctc_logits"] if ctc_weight > 0 else None,
                 ctc_weight=ctc_weight,
                 lm_table=lm_table,
-                lm_alpha=cfg.decode.lm_alpha if lm_table is not None else 0.0)
+                lm_alpha=cfg.decode.lm_alpha if has_lm else 0.0,
+                rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params)
             return toks, lens
 
         return decode_fn
@@ -89,8 +109,8 @@ def decode_dataset(trainer, max_batches: int | None = None,
     ``python -m pytorch_asr_tpu.eval_wer <prefix>.ref.tsv <prefix>.hyp.tsv``.
     """
     cfg = trainer.cfg
-    lm_table = _load_lm_table(cfg)
-    decode_fn = make_decode_fn(trainer, lm_table)
+    lm_table, rnn_lm, rnn_lm_params = _load_lm(cfg)
+    decode_fn = make_decode_fn(trainer, lm_table, rnn_lm, rnn_lm_params)
     tok = trainer.tokenizer
     refs, hyps = [], []
     audio_sec = 0.0

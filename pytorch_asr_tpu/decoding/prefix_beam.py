@@ -72,8 +72,14 @@ def _segment_logsumexp_sorted(vals, seg_start):
 
 
 def _build_candidates(state: BeamState, logp_t, *, blank, vocab, lm_table,
-                      lm_alpha, lm_beta, K, L, parent_offset: int = 0):
-    """Stay + extension candidates for K beams -> dict of (B, K + K*(V-1))."""
+                      lm_alpha, lm_beta, K, L, parent_offset: int = 0,
+                      lm_rows=None):
+    """Stay + extension candidates for K beams -> dict of (B, K + K*(V-1)).
+
+    ``lm_rows`` (B, K, V): per-beam log P(c | prefix) from a neural LM whose
+    state is carried outside BeamState; when given it replaces the n-gram
+    table gather as the fusion source.
+    """
     B = logp_t.shape[0]
     nb = vocab - 1                                         # non-blank count
     total = _lse(state.pb, state.pnb)                      # (B, K)
@@ -95,7 +101,11 @@ def _build_candidates(state: BeamState, logp_t, *, blank, vocab, lm_table,
     ext_pnb = base + lp_c
     full = state.length >= L
     ext_pnb = jnp.where(full[..., None], NEG_INF, ext_pnb)
-    if lm_table is not None:
+    if lm_rows is not None:
+        lm_add = lm_alpha * lm_rows[..., 1:] + lm_beta
+        ext_lm = state.lm_s[..., None] + lm_add
+        ext_ctx = jnp.broadcast_to(state.ctx[..., None], ext_pnb.shape)
+    elif lm_table is not None:
         lm_row = lm_table[state.ctx]                       # (B, K, V)
         lm_add = lm_alpha * lm_row[..., 1:] + lm_beta
         ext_lm = state.lm_s[..., None] + lm_add
@@ -163,12 +173,31 @@ def _apply_tokens(tokens, length, parent, append, L):
     return new_tokens, new_len
 
 
+class LMCarry(NamedTuple):
+    """Per-beam neural-LM state carried alongside BeamState."""
+    h: jax.Array       # (layers, B, K, H)
+    c: jax.Array       # (layers, B, K, H)
+    logp: jax.Array    # (B, K, V) log P(next char | prefix)
+
+
+def _gather_lm(carry: LMCarry, parent) -> LMCarry:
+    def g(x):                                              # (B, K, ...) leaves
+        idx = parent.reshape(parent.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, jnp.broadcast_to(
+            idx, parent.shape + x.shape[2:]), axis=1)
+
+    return LMCarry(h=jax.vmap(g)(carry.h), c=jax.vmap(g)(carry.c),
+                   logp=g(carry.logp))
+
+
 def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
-          lm_alpha, lm_beta, lm_order, K, L):
+          lm_alpha, lm_beta, lm_order, K, L, rnn_lm=None, rnn_lm_params=None,
+          lm_carry: LMCarry | None = None):
     B = logp_t.shape[0]
-    cand = _build_candidates(state, logp_t, blank=blank, vocab=vocab,
-                             lm_table=lm_table, lm_alpha=lm_alpha,
-                             lm_beta=lm_beta, K=K, L=L)
+    cand = _build_candidates(
+        state, logp_t, blank=blank, vocab=vocab, lm_table=lm_table,
+        lm_alpha=lm_alpha, lm_beta=lm_beta, K=K, L=L,
+        lm_rows=lm_carry.logp if lm_carry is not None else None)
     top_score, f = _merge_topk(cand, K)
     parent, append = f["parent"], f["append"]
     new_pb, new_pnb = f["pb"], f["pnb"]
@@ -182,15 +211,43 @@ def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
 
     # frozen rows (t >= logit_len) keep their old state
     keep = active[:, None]
-    merged = jax.tree.map(
-        lambda new, old: jnp.where(
-            keep.reshape((B,) + (1,) * (new.ndim - 1)).astype(bool), new, old),
-        new_state, state)
-    return merged
+
+    def freeze(new, old):
+        return jnp.where(
+            keep.reshape((B,) + (1,) * (new.ndim - 1)).astype(bool), new, old)
+
+    merged = jax.tree.map(freeze, new_state, state)
+
+    new_carry = None
+    if lm_carry is not None:
+        # LM state is a pure function of the prefix: gather by parent, then
+        # advance only the beams that appended a char this step.
+        from pytorch_asr_tpu.models.lm_rnn import LMState, lm_step_logp
+
+        g = _gather_lm(lm_carry, parent)
+        Lc, _, _, H = g.h.shape
+        y = jnp.maximum(append, 0).reshape(B * K)
+        stepped_logp, stepped = lm_step_logp(
+            rnn_lm, rnn_lm_params, y,
+            LMState(g.h.reshape(Lc, B * K, H), g.c.reshape(Lc, B * K, H)))
+        ext = append >= 0                                  # (B, K)
+        new_h = jnp.where(ext[None, :, :, None],
+                          stepped.h.reshape(Lc, B, K, H), g.h)
+        new_c = jnp.where(ext[None, :, :, None],
+                          stepped.c.reshape(Lc, B, K, H), g.c)
+        new_logp = jnp.where(ext[..., None],
+                             stepped_logp.reshape(B, K, vocab), g.logp)
+        act = active[:, None, None]
+        new_carry = LMCarry(
+            h=jnp.where(act[None, ..., 0:1], new_h, lm_carry.h),
+            c=jnp.where(act[None, ..., 0:1], new_c, lm_carry.c),
+            logp=jnp.where(act, new_logp, lm_carry.logp),
+        )
+    return merged, new_carry
 
 
 @partial(jax.jit, static_argnames=("beam_size", "blank", "lm_alpha", "lm_beta",
-                                   "lm_order", "max_len"))
+                                   "lm_order", "max_len", "rnn_lm", "sos_id"))
 def prefix_beam_search(
     logits: jax.Array,           # (B, T, V)
     logit_len: jax.Array,        # (B,)
@@ -201,22 +258,44 @@ def prefix_beam_search(
     lm_beta: float = 0.0,
     lm_order: int = 3,
     max_len: int = 256,
+    rnn_lm=None,                 # CharRNNLM module (static) for neural fusion
+    rnn_lm_params=None,
+    sos_id: int = 29,
 ):
-    """Returns (tokens (B, L), lengths (B,), scores (B,)) -- best beam per row."""
+    """Returns (tokens (B, L), lengths (B,), scores (B,)) -- best beam per row.
+
+    Fusion sources (mutually exclusive): ``lm_table`` — dense n-gram table
+    gathered by rolling context id; ``rnn_lm`` + ``rnn_lm_params`` — neural
+    char LM whose (h, c) state rides with each beam hypothesis on device.
+    """
     B, T, V = logits.shape
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     K, L = beam_size, max_len
     state = _init_state(B, K, L)
+    lm_carry = None
+    if rnn_lm is not None:
+        from pytorch_asr_tpu.models.lm_rnn import lm_step_logp
+
+        st0 = rnn_lm.apply({"params": rnn_lm_params}, B * K,
+                           method=rnn_lm.init_state)
+        logp0, st1 = lm_step_logp(
+            rnn_lm, rnn_lm_params,
+            jnp.full((B * K,), sos_id, jnp.int32), st0)
+        Lc, _, H = st1.h.shape
+        lm_carry = LMCarry(h=st1.h.reshape(Lc, B, K, H),
+                           c=st1.c.reshape(Lc, B, K, H),
+                           logp=logp0.reshape(B, K, V))
     step = partial(_step, blank=blank, vocab=V, lm_table=lm_table,
                    lm_alpha=lm_alpha, lm_beta=lm_beta, lm_order=lm_order,
-                   K=K, L=L)
+                   K=K, L=L, rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params)
 
-    def scan_fn(state, inp):
+    def scan_fn(carry, inp):
+        state, lm_carry = carry
         t, logp_t = inp
-        return step(state, logp_t, t < logit_len), None
+        return step(state, logp_t, t < logit_len, lm_carry=lm_carry), None
 
-    state, _ = jax.lax.scan(
-        scan_fn, state, (jnp.arange(T), jnp.swapaxes(logp, 0, 1)))
+    (state, _), _ = jax.lax.scan(
+        scan_fn, (state, lm_carry), (jnp.arange(T), jnp.swapaxes(logp, 0, 1)))
     final = _lse(state.pb, state.pnb) + state.lm_s
     best = jnp.argmax(final, axis=1)                       # (B,)
     tokens = jnp.take_along_axis(state.tokens, best[:, None, None], axis=1)[:, 0]
