@@ -169,6 +169,10 @@ class DecodeConfig:
     max_decode_len: int = 256
     length_norm: float = 1.0
     joint_ctc_weight: float = 0.3
+    # Coverage bonus (Chorowski & Jaitly 2016): final score +=
+    # coverage_beta * #frames with cumulative attention > coverage_tau.
+    coverage_beta: float = 0.0
+    coverage_tau: float = 0.5
 
 
 @dataclass(frozen=True)

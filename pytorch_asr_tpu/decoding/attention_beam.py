@@ -105,8 +105,16 @@ def attention_beam_search(
     lm_order: int = 3,
     rnn_lm: Any = None,          # CharRNNLM for neural shallow fusion
     rnn_lm_params: Any = None,
+    coverage_beta: float = 0.0,
+    coverage_tau: float = 0.5,
 ):
-    """Returns (tokens (B, U), lengths (B,), scores (B,))."""
+    """Returns (tokens (B, U), lengths (B,), scores (B,)).
+
+    Coverage (Chorowski & Jaitly 2016): final ranking adds
+    ``coverage_beta * |{t < enc_len : sum_u a_{u,t} > coverage_tau}|`` — the
+    count of encoder frames the hypothesis attended to — discouraging beams
+    that stop early or loop on a few frames.
+    """
     B, T, D = enc.shape
     K, U = beam_size, max_len
     V = None
@@ -152,9 +160,10 @@ def attention_beam_search(
                   logp0.reshape(B, K, Vl))
     else:
         lm_rnn = None
+    cum_att = jnp.zeros((B, K, T), jnp.float32) if coverage_beta != 0.0 else None
 
     def scan_step(carry, _):
-        hyp, dec_state, y_prev, ctc_state, lm_ctx, lm_rnn = carry
+        hyp, dec_state, y_prev, ctc_state, lm_ctx, lm_rnn, cum_att = carry
         flat = _flatten_state(dec_state)
         logits, new_flat = model.apply(
             {"params": params}, enc_k, enc_projed, enc_mask,
@@ -256,17 +265,31 @@ def attention_beam_search(
             )
         else:
             new_lm_rnn = None
+        if cum_att is not None:
+            # this step's alignment (already gathered by parent) counts only
+            # for beams that emitted a real character
+            new_cum = (_gather_beam(cum_att, parent)
+                       + jnp.where(emit[..., None], gdec.att, 0.0))
+        else:
+            new_cum = None
 
-        return (new_hyp, gdec, new_y, new_ctc, new_lm_ctx, new_lm_rnn), None
+        return (new_hyp, gdec, new_y, new_ctc, new_lm_ctx, new_lm_rnn,
+                new_cum), None
 
-    (hyp, _, _, _, _, _), _ = jax.lax.scan(
+    (hyp, _, _, _, _, _, cum_att), _ = jax.lax.scan(
         scan_step,
-        (hyp, dec_state, y_prev, ctc_state, lm_ctx, lm_rnn), None, length=U)
+        (hyp, dec_state, y_prev, ctc_state, lm_ctx, lm_rnn, cum_att),
+        None, length=U)
 
     # Unfinished beams never produced eos: keep their raw score (they competed
     # fairly); rank with length normalization.
     norm = jnp.maximum(hyp.length.astype(jnp.float32), 1.0) ** length_norm
     final = hyp.score / norm
+    if cum_att is not None:
+        frame_valid = (jnp.arange(T)[None, None, :] < enc_len[:, None, None])
+        covered = jnp.sum(
+            ((cum_att > coverage_tau) & frame_valid).astype(jnp.float32), axis=2)
+        final = final + coverage_beta * covered
     best = jnp.argmax(final, axis=1)
     tokens = jnp.take_along_axis(hyp.tokens, best[:, None, None], axis=1)[:, 0]
     lengths = jnp.take_along_axis(hyp.length, best[:, None], axis=1)[:, 0]

@@ -92,7 +92,9 @@ def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None):
                 ctc_weight=ctc_weight,
                 lm_table=lm_table,
                 lm_alpha=cfg.decode.lm_alpha if has_lm else 0.0,
-                rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params)
+                rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
+                coverage_beta=cfg.decode.coverage_beta,
+                coverage_tau=cfg.decode.coverage_tau)
             return toks, lens
 
         return decode_fn

