@@ -46,6 +46,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _d(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _gates(pre, H):
     i = jax.nn.sigmoid(pre[:, :H])
     f = jax.nn.sigmoid(pre[:, H:2 * H])
@@ -54,8 +58,8 @@ def _gates(pre, H):
     return i, f, g, o
 
 
-def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref, start_ref, end_ref,
-                hs_ref, h0_ref, c0_ref, h_sc, c_sc, xp_sc, ht_sc,
+def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref, start_ref,
+                end_ref, hs_ref, h0_ref, c0_ref, h_sc, c_sc, xp_sc, ht_sc,
                 *, tc: int, H: int, n_chunks: int, reverse: bool):
     ic = pl.program_id(0)
     B = h_sc.shape[0]
@@ -83,7 +87,9 @@ def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref, start_ref, end_ref,
         h, c = carry
         j = (tc - 1 - k) if reverse else k
         t = chunk * tc + j
-        pre = xp_sc[j] + jnp.dot(h, whh, preferred_element_type=jnp.float32)
+        # The recurrence is latency-bound (small serial matmul): one fp32 dot
+        # beats bf16x3 splits here (measured 1.55 vs 2.06 ms/direction).
+        pre = xp_sc[j] + _d(h, whh)
         i, f, g, o = _gates(pre, H)
         c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
@@ -99,7 +105,8 @@ def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref, start_ref, end_ref,
     c_sc[:] = c
 
 
-def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
+def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, wih_t_ref,
+                whh_ref, whh_t_ref, b_ref,
                 start_ref, end_ref,
                 dx_ref, dwih_ref, dwhh_ref, db_ref,
                 dh_sc, dc_sc, dwih_sc, dwhh_sc, db_sc,
@@ -126,6 +133,7 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
     xp_sc[:] = xp + b_ref[:].reshape(1, 1, 4 * H)
     gt_sc[:] = jnp.swapaxes(ghs_ref[:], 0, 1)            # (tc, B, H)
     whh = whh_ref[:]
+    whh_t = whh_t_ref[:]
     start, end = start_ref[:], end_ref[:]
 
     # ---- recompute the chunk forward from the boundary snapshot ------------
@@ -135,7 +143,7 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
         t = chunk * tc + j
         hp_sc[j] = h
         cp_sc[j] = c
-        pre = xp_sc[j] + jnp.dot(h, whh, preferred_element_type=jnp.float32)
+        pre = xp_sc[j] + _d(h, whh)
         i, f, g, o = _gates(pre, H)
         act_sc[0, j] = i
         act_sc[1, j] = f
@@ -168,8 +176,7 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
         m = (t >= start) & (t < end)
         dgates = jnp.where(m, dgates, 0.0)
         dg_sc[j] = dgates
-        dh = jnp.where(m, jnp.dot(dgates, whh.T,
-                                  preferred_element_type=jnp.float32), dh_tot)
+        dh = jnp.where(m, _d(dgates, whh_t), dh_tot)
         dc = jnp.where(m, dc_tot * f, dc)
         return dh, dc
 
@@ -178,7 +185,10 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
     dc_sc[:] = dc
 
     dgs = dg_sc[:].reshape(tc * B, 4 * H)
-    dx_tb = jnp.dot(dgs, wih_ref[:].T,
+    # NOTE: hand-rolled bf16x3 splits were tried for these products and were
+    # SLOWER than plain fp32 dots (19.2 vs 16.3 ms full-grad step at B=64):
+    # the VPU split passes + extra MXU issues outweigh fp32's pass count.
+    dx_tb = jnp.dot(dgs, wih_t_ref[:].astype(jnp.float32),
                     preferred_element_type=jnp.float32).reshape(tc, B, D)
     dx_ref[:] = jnp.swapaxes(dx_tb, 0, 1).astype(dx_ref.dtype)
     dwih_sc[:] += jnp.dot(x_tb.astype(jnp.float32).T, dgs,
@@ -286,6 +296,10 @@ def _vjp_bwd(reverse, res, g_hs):
     xp = _pad_time(x, t_pad)
     ghs = _pad_time(g_hs.astype(jnp.float32), t_pad)
     start, end = _windows(lengths, B)
+    # whh^T / wih^T precomputed outside the kernel: in-kernel transposes of
+    # VMEM-resident weights sat on the serial backward walk (~3% of the step).
+    whh_t = whh.T
+    wih_t = wih.astype(jnp.float32).T
     # backward grid walks chunks opposite to the forward processing order
     idx = (lambda i: (0, i, 0)) if reverse else \
           (lambda i: (0, n_chunks - 1 - i, 0))
@@ -302,7 +316,9 @@ def _vjp_bwd(reverse, res, g_hs):
             pl.BlockSpec((1, B, H), snap_idx),             # h snapshots
             pl.BlockSpec((1, B, H), snap_idx),             # c snapshots
             pl.BlockSpec(memory_space=pltpu.VMEM),         # wih
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # wih^T
             pl.BlockSpec(memory_space=pltpu.VMEM),         # whh
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # whh^T
             pl.BlockSpec(memory_space=pltpu.VMEM),         # bias
             pl.BlockSpec(memory_space=pltpu.VMEM),         # start
             pl.BlockSpec(memory_space=pltpu.VMEM),         # end
@@ -334,7 +350,8 @@ def _vjp_bwd(reverse, res, g_hs):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(xp, ghs, h0, c0, wih, whh, bias.reshape(1, -1), start, end)
+    )(xp, ghs, h0, c0, wih, wih_t, whh, whh_t,
+      bias.reshape(1, -1), start, end)
     dx = dx[:, :T]
     return (dx, dwih.astype(wih.dtype), dwhh.astype(whh.dtype),
             db.reshape(bias.shape).astype(bias.dtype), None)

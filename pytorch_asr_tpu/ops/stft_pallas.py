@@ -47,9 +47,23 @@ def _gcd(a: int, b: int) -> int:
     return a
 
 
+def _split_bf16(w: np.ndarray) -> np.ndarray:
+    """fp32 -> (hi, lo) bf16 parts: w ~= hi + lo (bf16x3 trick).
+
+    Pure numpy (ml_dtypes) so it stays a host-side constant under tracing."""
+    import ml_dtypes
+
+    hi = w.astype(ml_dtypes.bfloat16)
+    lo = (w - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
 @functools.lru_cache(maxsize=8)
 def _constants(cfg: FrontendConfig):
-    """Precomputed windowed DFT bases and padded mel matrix (host, cached)."""
+    """Precomputed windowed DFT bases and padded mel matrix (host, cached).
+
+    Each matrix is returned as stacked bf16 (hi, lo) parts so the kernel can
+    run 3-pass bf16x3 matmuls (~fp32-accurate at 3x the fp32 MXU rate)."""
     n_fft = cfg.n_fft
     n_freq = n_fft // 2 + 1
     f_pad = _round_up(n_freq, LANE)                 # 384 for n_fft=512
@@ -65,24 +79,44 @@ def _constants(cfg: FrontendConfig):
     ws[:, :n_freq] = np.sin(ang) * win[:, None]
     mel = np.zeros((f_pad, m_pad), np.float32)
     mel[:n_freq, : cfg.n_mels] = features.mel_filterbank(cfg)
-    return wc, ws, mel
+    return _split_bf16(wc), _split_bf16(ws), _split_bf16(mel)
 
 
-def _stft_kernel(audio_ref, wc_ref, ws_ref, mel_ref, out_ref,
-                 chunk_ref, frames_ref, sem,
+def _stft_kernel(audio_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref,
+                 ws_lo_ref, mel_hi_ref, mel_lo_ref, out_ref,
+                 chunk0_ref, chunk1_ref, frames_ref, sem0, sem1,
                  *, hop: int, n_fft: int, span: int, a_pad: int,
                  log_floor: float):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nblk = pl.num_programs(1)
+    gp = b * nblk + i                           # global program index
+    total = pl.num_programs(0) * nblk
+    slot = jax.lax.rem(gp, 2)
+
     # audio is flattened to 1-D (B*a_pad,) so the DMA source is a plain
     # tile-aligned 1-D slice (row slicing a 2-D HBM memref trips Mosaic's
     # sublane tiling rules); a_pad, the block start and span are all
-    # multiples of 1024.
-    start = b * a_pad + i * FRAME_BLOCK * hop
-    dma = pltpu.make_async_copy(
-        audio_ref.at[pl.ds(start, span)], chunk_ref, sem)
-    dma.start()
-    dma.wait()
+    # multiples of 1024.  Double-buffered: program g waits on the copy its
+    # predecessor started, and prefetches g+1's chunk before computing.
+    def copy_for(gidx, chunk, sem):
+        bb = gidx // nblk
+        ii = gidx - bb * nblk
+        start = bb * a_pad + ii * FRAME_BLOCK * hop
+        return pltpu.make_async_copy(
+            audio_ref.at[pl.ds(start, span)], chunk, sem)
+
+    @pl.when(gp == 0)
+    def _():
+        copy_for(0, chunk0_ref, sem0).start()
+
+    @pl.when((gp + 1 < total) & (slot == 0))
+    def _():
+        copy_for(gp + 1, chunk1_ref, sem1).start()
+
+    @pl.when((gp + 1 < total) & (slot == 1))
+    def _():
+        copy_for(gp + 1, chunk0_ref, sem0).start()
 
     # Frame r starts at r*hop.  Group frames by phase p = r mod n_phase
     # (n_phase = 128/gcd(hop,128)): within a phase, consecutive frames are
@@ -97,26 +131,49 @@ def _stft_kernel(audio_ref, wc_ref, ws_ref, mel_ref, out_ref,
     row_w = n_phase * hop                       # 640: stride between same-phase frames
     groups = per_phase // 8                     # 8-row groups per phase
 
-    for p in range(n_phase):
-        off = (p * hop) % LANE                  # static lane offset within a row
-        base = p * hop - off                    # tile-aligned flat start
-        for m in range(groups):
-            rows = []
-            for j in range(8):
-                lo = base + (8 * m + j) * row_w
-                rows.append(chunk_ref[lo : lo + row_w].reshape(1, row_w))
-            v = jnp.concatenate(rows, axis=0)   # (8, row_w), same phase
-            frames_ref[p * per_phase + 8 * m : p * per_phase + 8 * m + 8, :] = (
-                v[:, off : off + n_fft])        # one static shuffle per group
+    def assemble(chunk_ref):
+        for p in range(n_phase):
+            off = (p * hop) % LANE              # static lane offset within a row
+            base = p * hop - off                # tile-aligned flat start
+            for m in range(groups):
+                rows = []
+                for j in range(8):
+                    lo = base + (8 * m + j) * row_w
+                    rows.append(chunk_ref[lo : lo + row_w].reshape(1, row_w))
+                v = jnp.concatenate(rows, axis=0)   # (8, row_w), same phase
+                frames_ref[p * per_phase + 8 * m : p * per_phase + 8 * m + 8, :] = (
+                    v[:, off : off + n_fft])    # one static shuffle per group
 
-    # fp32-accurate MXU matmuls: audio has high dynamic range and the jnp
-    # reference path (exact fp32 rFFT) is the parity oracle.
+    @pl.when(slot == 0)
+    def _():
+        copy_for(gp, chunk0_ref, sem0).wait()
+        assemble(chunk0_ref)
+
+    @pl.when(slot == 1)
+    def _():
+        copy_for(gp, chunk1_ref, sem1).wait()
+        assemble(chunk1_ref)
+
+    # bf16x3 MXU matmuls (x ~= x_hi + x_lo, W ~= W_hi + W_lo; keep the three
+    # leading cross terms): ~1e-6 relative error at 2x the fp32-HIGHEST rate.
+    # Far inside the log-mel parity tolerance vs the exact-fp32 jnp rFFT
+    # oracle (test_stft_pallas.py).
     frames = frames_ref[:]
-    hi = jax.lax.Precision.HIGHEST
-    re = jnp.dot(frames, wc_ref[:], precision=hi, preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, ws_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    f_hi = frames.astype(jnp.bfloat16)
+    f_lo = (frames - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot3(w_hi_ref, w_lo_ref):
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)  # noqa: E731
+        return d(f_hi, w_hi_ref[:]) + (d(f_hi, w_lo_ref[:]) + d(f_lo, w_hi_ref[:]))
+
+    re = dot3(wc_hi_ref, wc_lo_ref)
+    im = dot3(ws_hi_ref, ws_lo_ref)
     power = re * re + im * im
-    mel = jnp.dot(power, mel_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    p_hi = power.astype(jnp.bfloat16)
+    p_lo = (power - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mel = (jnp.dot(p_hi, mel_hi_ref[:], preferred_element_type=jnp.float32)
+           + jnp.dot(p_hi, mel_lo_ref[:], preferred_element_type=jnp.float32)
+           + jnp.dot(p_lo, mel_hi_ref[:], preferred_element_type=jnp.float32))
     out_ref[0] = jnp.log(jnp.maximum(mel, log_floor))
 
 
@@ -141,8 +198,8 @@ def stft_log_mel(audio: jax.Array, cfg: FrontendConfig,
     audio_p = jnp.pad(audio.astype(jnp.float32),
                       ((0, 0), (0, a_pad - A))).reshape(B * a_pad)
 
-    wc, ws, mel = _constants(cfg)
-    f_pad, m_pad = wc.shape[1], mel.shape[1]
+    (wc_hi, wc_lo), (ws_hi, ws_lo), (mel_hi, mel_lo) = _constants(cfg)
+    f_pad, m_pad = wc_hi.shape[1], mel_hi.shape[1]
 
     kernel = functools.partial(
         _stft_kernel, hop=hop, n_fft=n_fft, span=span, a_pad=a_pad,
@@ -152,21 +209,27 @@ def stft_log_mel(audio: jax.Array, cfg: FrontendConfig,
         grid=(B, nblk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),          # audio stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # wc
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # ws
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # mel
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # wc hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # wc lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # ws hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # ws lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # mel hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # mel lo
         ],
         out_specs=pl.BlockSpec((1, FRAME_BLOCK, m_pad),
                                lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nblk * FRAME_BLOCK, m_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((span,), jnp.float32),              # audio chunk (1-D)
+            pltpu.VMEM((span,), jnp.float32),              # chunk buffer 0
+            pltpu.VMEM((span,), jnp.float32),              # chunk buffer 1
             pltpu.VMEM((FRAME_BLOCK, n_fft), jnp.float32), # frames
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(audio_p, jnp.asarray(wc), jnp.asarray(ws), jnp.asarray(mel))
+    )(audio_p, jnp.asarray(wc_hi), jnp.asarray(wc_lo), jnp.asarray(ws_hi),
+      jnp.asarray(ws_lo), jnp.asarray(mel_hi), jnp.asarray(mel_lo))
     # Kernel rows are phase-major within each 128-frame block; undo with a
     # static gather (fused by XLA, negligible vs. the kernel).
     g = _gcd(hop, LANE)
