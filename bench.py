@@ -24,7 +24,7 @@ import numpy as np
 
 BASELINE_AUDIO_S_PER_S = 50.0   # literature anchor, see module docstring
 
-BATCH = 64
+BATCH = 128    # best measured throughput point (64: ~37k, 128: ~42.6k audio-s/s)
 AUDIO_SEC = 10.0
 SAMPLE_RATE = 16000
 WARMUP_STEPS = 3

@@ -42,6 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 TIME_CHUNK = 32
 
 
+def _pick_tc(B: int) -> int:
+    """Time-chunk size: scratch buffers scale with tc*B, so shrink chunks as
+    the batch grows to stay inside VMEM (tc*B ~ 2048 rows)."""
+    return max(8, min(TIME_CHUNK, _round_up(2048 // max(B, 1), 8)))
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -239,7 +245,7 @@ def lstm_seq(x, wih, whh, bias, lengths, reverse=False):
 def _fwd_impl(x, wih, whh, bias, lengths, reverse):
     B, T, D = x.shape
     H = whh.shape[0]
-    tc = TIME_CHUNK
+    tc = _pick_tc(B)
     t_pad = _round_up(T, tc)
     n_chunks = t_pad // tc
     xp = _pad_time(x, t_pad)
@@ -291,7 +297,7 @@ def _vjp_bwd(reverse, res, g_hs):
     x, wih, whh, bias, lengths, h0, c0, t_pad = res
     B, T, D = x.shape
     H = whh.shape[0]
-    tc = TIME_CHUNK
+    tc = _pick_tc(B)
     n_chunks = t_pad // tc
     xp = _pad_time(x, t_pad)
     ghs = _pad_time(g_hs.astype(jnp.float32), t_pad)

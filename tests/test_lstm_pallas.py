@@ -97,3 +97,20 @@ def test_lstm_pallas_chunk_boundary_lengths():
         ref = _ref(x, wih, whh, bias, lengths, reverse)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("B,want_tc", [(4, 32), (136, 16), (300, 8)])
+def test_adaptive_time_chunk(B, want_tc):
+    """Large batches shrink the in-kernel time chunk (VMEM scales with tc*B);
+    values must stay identical to the scan reference at every chunk size."""
+    from pytorch_asr_tpu.ops.lstm_pallas import _pick_tc
+
+    assert _pick_tc(B) == want_tc
+    if B > 150:                       # parity run only for the mid size
+        return
+    x, wih, whh, bias, lengths = _case(3, B=B, T=20, D=8, H=8)
+    with pltpu.force_tpu_interpret_mode():
+        ours = lstm_seq(x, wih, whh, bias, lengths, False)
+    ref = _ref(x, wih, whh, bias, lengths, False)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
