@@ -141,7 +141,6 @@ def _merge_topk(cand: dict, K: int):
     """Hash-merge duplicate prefixes, keep top-K.  Returns (score, fields)."""
     order = jnp.argsort(cand["hash"], axis=1)
     srt = {k: jnp.take_along_axis(v, order, axis=1) for k, v in cand.items()}
-    srt = {k: jnp.take_along_axis(v, order, axis=1) for k, v in cand.items()}
     B = srt["hash"].shape[0]
     prev = jnp.concatenate([jnp.full((B, 1), -2147483647, jnp.int32),
                             srt["hash"][:, :-1]], 1)

@@ -107,20 +107,23 @@ class HostRNNLM:
         self._cache: dict[tuple, Any] = {}
 
     def _logp_state(self, prefix: tuple):
-        if prefix in self._cache:
-            return self._cache[prefix]
-        if not prefix:
+        # Iterative walk from the longest cached ancestor (recursion would
+        # blow the stack on utterance-length prefixes).
+        n = len(prefix)
+        while n > 0 and prefix[:n] not in self._cache:
+            n -= 1
+        if n == 0 and () not in self._cache:
             state = self.model.apply({"params": self.params}, 1,
                                      method=self.model.init_state)
             y = jnp.asarray([self.sos_id], jnp.int32)
-        else:
-            prev_logp, prev_state = self._logp_state(prefix[:-1])
-            state = prev_state
-            y = jnp.asarray([prefix[-1]], jnp.int32)
-        logp, new_state = lm_step_logp(self.model, self.params, y, state)
-        out = (jax.device_get(logp)[0], new_state)
-        self._cache[prefix] = out
-        return out
+            logp, state = lm_step_logp(self.model, self.params, y, state)
+            self._cache[()] = (jax.device_get(logp)[0], state)
+        for i in range(n, len(prefix)):
+            _, state = self._cache[prefix[:i]]
+            y = jnp.asarray([prefix[i]], jnp.int32)
+            logp, new_state = lm_step_logp(self.model, self.params, y, state)
+            self._cache[prefix[: i + 1]] = (jax.device_get(logp)[0], new_state)
+        return self._cache[prefix]
 
     def score(self, ctx, c: int) -> float:
         logp, _ = self._logp_state(tuple(ctx))

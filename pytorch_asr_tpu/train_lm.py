@@ -32,11 +32,10 @@ def main(argv: list[str] | None = None) -> None:
         with open(text_path) as fh:
             texts = [line.strip() for line in fh if line.strip()]
     else:
-        from pytorch_asr_tpu.data.synthetic import synthetic_corpus
+        from pytorch_asr_tpu.data.synthetic import synthetic_texts
 
-        texts = [t for _, t in synthetic_corpus(
-            int(kv.pop("synthetic_num_utts", "256")), 16000,
-            seed=int(kv.get("seed", "0")))]
+        texts = synthetic_texts(int(kv.pop("synthetic_num_utts", "256")),
+                                seed=int(kv.get("seed", "0")))
 
     cfg = RNNLMConfig(
         embed_dim=int(kv.pop("embed_dim", "128")),
@@ -44,15 +43,15 @@ def main(argv: list[str] | None = None) -> None:
         num_layers=int(kv.pop("num_layers", "2")),
     )
     steps = int(kv.pop("steps", "500"))
-    model, params, nll = train_rnn_lm(
-        texts, cfg, steps=steps,
+    train_kw = dict(
         batch_size=int(kv.pop("batch_size", "32")),
         max_len=int(kv.pop("max_len", "128")),
         lr=float(kv.pop("lr", "1e-3")),
         seed=int(kv.pop("seed", "0")),
         log_every=int(kv.pop("log_every", "100")))
-    if kv:
+    if kv:  # fail on typo'd keys BEFORE burning the training run
         raise SystemExit(f"unknown keys: {sorted(kv)}")
+    model, params, nll = train_rnn_lm(texts, cfg, steps=steps, **train_kw)
     save_rnn_lm(out_path, cfg, params)
     import math
 

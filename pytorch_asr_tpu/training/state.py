@@ -125,7 +125,10 @@ def compute_losses(cfg: ExperimentConfig, model: ASRModel, params, batch,
     ss_prob = 0.0
     if (need_las and train and step is not None
             and cfg.model.decoder.scheduled_sampling > 0.0):
-        ramp = jnp.clip(step.astype(jnp.float32)
+        # `step` counts micro-batches; the ramp is documented in OPTIMIZER
+        # steps, so rescale when gradient accumulation is on.
+        opt_step = step // max(cfg.train.optim.accum_steps, 1)
+        ramp = jnp.clip(opt_step.astype(jnp.float32)
                         / max(cfg.model.decoder.ss_ramp_steps, 1), 0.0, 1.0)
         ss_prob = cfg.model.decoder.scheduled_sampling * ramp
     out = model.apply(
@@ -170,11 +173,22 @@ def make_train_step(cfg: ExperimentConfig, model: ASRModel):
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         aux["grad_norm"] = optax.global_norm(grads)
-        aux["lr"] = lr_schedule(cfg.train.optim)(state.step)
+        # state.step counts micro-batches; the LR schedule (inside
+        # optax/MultiSteps) ticks once per OPTIMIZER update — log the LR that
+        # is actually applied.
+        accum = max(cfg.train.optim.accum_steps, 1)
+        aux["lr"] = lr_schedule(cfg.train.optim)(state.step // accum)
         d = cfg.train.ema_decay
-        new_ema = (jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
-                                state.ema_params, new_params)
-                   if state.ema_params is not None else None)
+        if state.ema_params is not None:
+            # Blend only on real optimizer updates: during an accumulation
+            # window params are unchanged and re-blending would shrink the
+            # effective averaging horizon by accum_steps.
+            is_update = ((state.step + 1) % accum) == 0 if accum > 1 else True
+            new_ema = jax.tree.map(
+                lambda e, p: jnp.where(is_update, d * e + (1.0 - d) * p, e),
+                state.ema_params, new_params)
+        else:
+            new_ema = None
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   opt_state=new_opt, rng=rng,
                                   ema_params=new_ema)

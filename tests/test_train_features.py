@@ -163,3 +163,21 @@ def test_scheduled_sampling_train_step_smoke():
         st, aux = step(st, batch)
     assert np.isfinite(float(aux["loss"]))
     assert "ce_loss" in aux and "ctc_loss" in aux
+
+
+def test_ema_blends_only_on_optimizer_updates():
+    """With accumulation, EMA must not re-blend inside the window (the
+    effective horizon would shrink by accum_steps)."""
+    cfg = _tiny_cfg(accum_steps=2, ema_decay=0.5)
+    model, st, batch = _state_and_batch(cfg)
+    step = jax.jit(tstate.make_train_step(cfg, model))
+    st1, aux1 = step(st, batch)       # micro-step: no update
+    np.testing.assert_array_equal(_first_leaf(st.ema_params),
+                                  _first_leaf(st1.ema_params))
+    st2, aux2 = step(st1, batch)      # window closes: update + blend
+    p2 = _first_leaf(st2.params)
+    np.testing.assert_allclose(
+        _first_leaf(st2.ema_params),
+        0.5 * _first_leaf(st.ema_params) + 0.5 * p2, rtol=0, atol=1e-6)
+    # logged LR reflects optimizer updates, not micro-batches
+    assert float(aux1["lr"]) <= float(aux2["lr"])
