@@ -16,7 +16,7 @@ import numpy as np
 
 from pytorch_asr_tpu.configs.base import ExperimentConfig
 from pytorch_asr_tpu.data import BucketedDataset, CharTokenizer, build_dataset
-from pytorch_asr_tpu.decoding.wer import corpus_wer
+from pytorch_asr_tpu.decoding.wer import corpus_cer, corpus_wer
 from pytorch_asr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from pytorch_asr_tpu.training.checkpoint import CheckpointManager
 from pytorch_asr_tpu.training.metrics import MetricsLogger, Throughput
@@ -186,6 +186,7 @@ class Trainer:
         dt = time.perf_counter() - t0
         result = {
             "wer": wer,
+            "cer": corpus_cer(refs, hyps),
             "num_utts": len(refs),
             "decode_rtf": dt / max(audio_sec, 1e-9),
             "step": int(self.state.step),
