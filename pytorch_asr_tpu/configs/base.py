@@ -173,6 +173,10 @@ class DecodeConfig:
     # coverage_beta * #frames with cumulative attention > coverage_tau.
     coverage_beta: float = 0.0
     coverage_tau: float = 0.5
+    # Shard beam hypotheses over the 'model' mesh axis during prefix-beam
+    # decoding (decode-state parallelism; candidate + LM state exchanged via
+    # ICI all_gather).  Requires mesh model axis > 1 and K % model_axis == 0.
+    shard_beams: bool = False
 
 
 @dataclass(frozen=True)

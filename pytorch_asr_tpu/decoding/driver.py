@@ -58,6 +58,30 @@ def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None):
     has_lm = lm_table is not None or rnn_lm is not None
 
     if method == "prefix_beam":
+        shard = (cfg.decode.shard_beams
+                 and trainer.mesh.shape.get("model", 1) > 1)
+        if shard:
+            from pytorch_asr_tpu.decoding.prefix_beam_sharded import (
+                prefix_beam_search_sharded)
+
+            # prefix_beam_search_sharded jits its own shard_map
+            def decode_fn(params, batch):
+                out = jax.jit(lambda p, b: model.apply(
+                    {"params": p}, b["audio"], b["audio_len"],
+                    train=False))(params, batch)
+                toks, lens, _ = prefix_beam_search_sharded(
+                    out["ctc_logits"], out["enc_len"], trainer.mesh,
+                    beam_size=cfg.decode.beam_size,
+                    lm_table=lm_table,
+                    lm_alpha=cfg.decode.lm_alpha if has_lm else 0.0,
+                    lm_beta=cfg.decode.lm_beta if has_lm else 0.0,
+                    max_len=cfg.decode.max_decode_len,
+                    rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
+                    sos_id=tok.sos_id)
+                return toks, lens
+
+            return decode_fn
+
         @jax.jit
         def decode_fn(params, batch):
             out = model.apply({"params": params}, batch["audio"],

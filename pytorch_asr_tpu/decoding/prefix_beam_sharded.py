@@ -55,27 +55,56 @@ def prefix_beam_search_sharded(
     lm_alpha: float = 0.0,
     lm_beta: float = 0.0,
     max_len: int = 256,
+    rnn_lm=None,                 # CharRNNLM module for neural fusion
+    rnn_lm_params=None,
+    sos_id: int = 29,
 ):
-    """Beam-sharded decode.  beam_size must divide the 'model' axis size."""
+    """Beam-sharded decode.  beam_size must divide the 'model' axis size.
+
+    Neural-LM fusion shards the LM STEP: each device advances only its K/P
+    beams' (h, c) states, and one ``all_gather`` over 'model' reassembles the
+    replicated LM carry -- this is the "LM-fusion state exchanged via ICI
+    collectives" of the BASELINE north star.
+    """
     n_model = mesh.shape["model"]
     if beam_size % n_model != 0:
         raise ValueError(f"beam_size {beam_size} not divisible by model axis {n_model}")
     K, L = beam_size, max_len
     kl = K // n_model
+    use_rnn = rnn_lm is not None
 
-    def local_fn(logits, logit_len, lm_tab):
+    def local_fn(logits, logit_len, lm_tab, lm_params):
         B, T, V = logits.shape
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         p = jax.lax.axis_index("model")
         state = _init_state(B, K, L)     # replicated-view full state
+        if use_rnn:
+            from pytorch_asr_tpu.models.lm_rnn import LMState, lm_step_logp
 
-        def scan_fn(state, inp):
+            st0 = rnn_lm.apply({"params": lm_params}, B * K,
+                               method=rnn_lm.init_state)
+            logp0, st1 = lm_step_logp(
+                rnn_lm, lm_params, jnp.full((B * K,), sos_id, jnp.int32), st0)
+            Lc, _, Hl = st1.h.shape
+            lm_carry = (st1.h.reshape(Lc, B, K, Hl),
+                        st1.c.reshape(Lc, B, K, Hl),
+                        logp0.reshape(B, K, V))
+        else:
+            lm_carry = None
+
+        def scan_fn(carry, inp):
+            state, lm_carry = carry
             t, logp_t = inp
             local = _local_slice(state, p, kl)
+            if use_rnn:
+                lm_rows = jax.lax.dynamic_slice_in_dim(
+                    lm_carry[2], p * kl, kl, axis=1)
+            else:
+                lm_rows = None
             cand_local = _build_candidates(
                 local, logp_t, blank=blank, vocab=V, lm_table=lm_tab,
                 lm_alpha=lm_alpha, lm_beta=lm_beta, K=kl, L=L,
-                parent_offset=p * kl)
+                parent_offset=p * kl, lm_rows=lm_rows)
             # ICI exchange: candidate summaries from every beam shard.
             cand = jax.tree.map(
                 lambda x: jax.lax.all_gather(
@@ -91,10 +120,44 @@ def prefix_beam_search_sharded(
                 lambda new, old: jnp.where(
                     keep.reshape((B,) + (1,) * (new.ndim - 1)), new, old),
                 new_state, state)
-            return merged, None
 
-        state, _ = jax.lax.scan(
-            scan_fn, state, (jnp.arange(T), jnp.swapaxes(logp, 0, 1)))
+            new_lm = None
+            if use_rnn:
+                lm_h, lm_c, lm_logp = lm_carry
+                # this shard advances only ITS kl new beams
+                par_l = jax.lax.dynamic_slice_in_dim(f["parent"], p * kl, kl, 1)
+                app_l = jax.lax.dynamic_slice_in_dim(f["append"], p * kl, kl, 1)
+                idx4 = jnp.broadcast_to(par_l[None, :, :, None],
+                                        (Lc, B, kl, Hl))
+                gh = jnp.take_along_axis(lm_h, idx4, axis=2)
+                gc = jnp.take_along_axis(lm_c, idx4, axis=2)
+                glogp = jnp.take_along_axis(
+                    lm_logp, jnp.broadcast_to(par_l[..., None], (B, kl, V)),
+                    axis=1)
+                y = jnp.maximum(app_l, 0).reshape(B * kl)
+                s_logp, s_st = lm_step_logp(
+                    rnn_lm, lm_params, y,
+                    LMState(gh.reshape(Lc, B * kl, Hl),
+                            gc.reshape(Lc, B * kl, Hl)))
+                ext = app_l >= 0
+                nh = jnp.where(ext[None, :, :, None],
+                               s_st.h.reshape(Lc, B, kl, Hl), gh)
+                nc = jnp.where(ext[None, :, :, None],
+                               s_st.c.reshape(Lc, B, kl, Hl), gc)
+                nlogp = jnp.where(ext[..., None],
+                                  s_logp.reshape(B, kl, V), glogp)
+                # ICI exchange: reassemble the replicated LM carry.
+                nh = jax.lax.all_gather(nh, "model", axis=2, tiled=True)
+                nc = jax.lax.all_gather(nc, "model", axis=2, tiled=True)
+                nlogp = jax.lax.all_gather(nlogp, "model", axis=1, tiled=True)
+                kb = keep.reshape(1, B, 1, 1)
+                new_lm = (jnp.where(kb, nh, lm_h), jnp.where(kb, nc, lm_c),
+                          jnp.where(keep[..., None], nlogp, lm_logp))
+            return (merged, new_lm), None
+
+        (state, _), _ = jax.lax.scan(
+            scan_fn, (state, lm_carry),
+            (jnp.arange(T), jnp.swapaxes(logp, 0, 1)))
         final = _lse(state.pb, state.pnb) + state.lm_s
         best = jnp.argmax(final, axis=1)
         tokens = jnp.take_along_axis(state.tokens, best[:, None, None], axis=1)[:, 0]
@@ -103,11 +166,16 @@ def prefix_beam_search_sharded(
         return tokens, lengths, scores
 
     lm_spec = P() if lm_table is not None else None
-    in_specs = (P("data"), P("data"), lm_spec)
+    params_spec = jax.tree.map(lambda _: P(), rnn_lm_params) if use_rnn else None
+    in_specs = (P("data"), P("data"), lm_spec, params_spec)
     out_specs = (P("data"), P("data"), P("data"))
     fn = jax.shard_map(local_fn, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
-    if lm_table is None:
-        fn2 = lambda lg, ll: fn(lg, ll, None)  # noqa: E731
+    if lm_table is None and not use_rnn:
+        fn2 = lambda lg, ll: fn(lg, ll, None, None)  # noqa: E731
         return jax.jit(fn2)(logits, logit_len)
-    return jax.jit(fn)(logits, logit_len, lm_table)
+    if use_rnn:
+        fn2 = lambda lg, ll, pp: fn(lg, ll, None, pp)  # noqa: E731
+        return jax.jit(fn2)(logits, logit_len, rnn_lm_params)
+    fn2 = lambda lg, ll, tab: fn(lg, ll, tab, None)  # noqa: E731
+    return jax.jit(fn2)(logits, logit_len, lm_table)

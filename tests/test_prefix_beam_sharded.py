@@ -64,3 +64,81 @@ def test_sharded_with_lm_matches():
         lm_beta=0.5, max_len=T + 1)
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_sh))
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sh), rtol=1e-6)
+
+
+def test_sharded_with_rnn_lm_matches():
+    """Neural-LM fusion with per-shard LM stepping + all_gather of (h, c)
+    state (the north star's 'LM-fusion state exchanged via ICI collectives')
+    must match the single-device RNN-fused decode."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from pytorch_asr_tpu.models.lm_rnn import RNNLMConfig
+    from pytorch_asr_tpu.training.lm import train_rnn_lm
+
+    mesh = make_mesh(MeshConfig(data_axis=2, model_axis=2),
+                     devices=jax.devices()[:4])
+    tok = CharTokenizer()
+    rnn_lm, lm_params, _ = train_rnn_lm(
+        ["the cat sat", "a dog ran"] * 4,
+        RNNLMConfig(embed_dim=8, hidden_dim=16, num_layers=1),
+        steps=20, batch_size=4, max_len=16, tokenizer=tok)
+    rng = np.random.default_rng(2)
+    B, T, V, K = 2, 10, tok.vocab_size, 8
+    logits = _logp(rng, B, T, V)
+    lens = jnp.asarray([T, T - 4])
+
+    t_ref, l_ref, s_ref = prefix_beam_search(
+        logits, lens, beam_size=K, lm_alpha=0.4, lm_beta=0.2, max_len=T + 1,
+        rnn_lm=rnn_lm, rnn_lm_params=lm_params, sos_id=tok.sos_id)
+    t_sh, l_sh, s_sh = prefix_beam_search_sharded(
+        logits, lens, mesh, beam_size=K, lm_alpha=0.4, lm_beta=0.2,
+        max_len=T + 1, rnn_lm=rnn_lm, rnn_lm_params=lm_params,
+        sos_id=tok.sos_id)
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_sh))
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_sh))
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sh), rtol=1e-5)
+
+
+def test_decode_driver_shard_beams_path():
+    """decode.shard_beams=true routes the decode driver through the
+    beam-sharded search and produces the same WER as the unsharded path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import dataclasses
+
+    from pytorch_asr_tpu.configs import get_config
+    from pytorch_asr_tpu.configs.base import (BiLSTMEncoderConfig, DataConfig,
+                                              FrontendConfig, ModelConfig,
+                                              TrainConfig, OptimConfig)
+    from pytorch_asr_tpu.data import BucketedDataset, synthetic_corpus
+    from pytorch_asr_tpu.training.trainer import Trainer
+
+    cfg = get_config("ctc_bilstm_dev1h")
+    cfg = dataclasses.replace(
+        cfg,
+        frontend=FrontendConfig(use_pallas=False, specaugment=False),
+        data=DataConfig(batch_size=4, bucket_audio_lens=(24000,),
+                        bucket_label_lens=(24,), synthetic_num_utts=8),
+        model=ModelConfig(
+            encoder=BiLSTMEncoderConfig(conv_channels=(4,), hidden_dim=32,
+                                        num_layers=1, dropout=0.0),
+            compute_dtype="float32"),
+        train=TrainConfig(optim=OptimConfig(peak_lr=1e-3, warmup_steps=5,
+                                            total_steps=50)),
+        mesh=dataclasses.replace(cfg.mesh, data_axis=4, model_axis=2),
+        decode=dataclasses.replace(cfg.decode, method="prefix_beam",
+                                   beam_size=4, max_decode_len=24,
+                                   shard_beams=True),
+    )
+    corpus = synthetic_corpus(8, 16000, seed=3, min_words=1, max_words=2)
+    ds = BucketedDataset(corpus, batch_size=4,
+                         bucket_audio_lens=cfg.data.bucket_audio_lens,
+                         bucket_label_lens=cfg.data.bucket_label_lens)
+    trainer = Trainer(cfg, dataset=ds, enable_checkpoints=False)
+    assert trainer.mesh.shape["model"] == 2
+    sharded = trainer.decode_eval(max_batches=2)
+
+    trainer.cfg = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode, shard_beams=False))
+    plain = trainer.decode_eval(max_batches=2)
+    assert sharded["wer"] == plain["wer"], (sharded, plain)
