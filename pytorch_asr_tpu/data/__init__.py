@@ -32,6 +32,10 @@ def load_corpus_for(cfg: DataConfig, sample_rate: int,
 
 def build_dataset(cfg: DataConfig, sample_rate: int, max_utts: int | None = None) -> BucketedDataset:
     """Build the bucketed dataset named by ``cfg`` (synthetic when no data root)."""
+    if cfg.vocab != "char":
+        raise ValueError(
+            f"unsupported vocab {cfg.vocab!r}: the framework (like the "
+            "reference genre) is char-based; only 'char' is implemented")
     corpus = load_corpus_for(cfg, sample_rate, max_utts)
     return BucketedDataset(
         corpus,

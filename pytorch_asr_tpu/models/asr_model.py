@@ -26,17 +26,24 @@ def _dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
-def build_encoder(model_cfg: ModelConfig):
+def build_encoder(model_cfg: ModelConfig, remat: bool = False):
     from pytorch_asr_tpu.models.encoder_bilstm import BiLSTMEncoder
     from pytorch_asr_tpu.models.encoder_tcn import TCNEncoder
 
     enc_cfg = model_cfg.encoder
     dtype = _dtype(model_cfg.compute_dtype)
     if isinstance(enc_cfg, BiLSTMEncoderConfig) or getattr(enc_cfg, "kind", "") == "bilstm":
-        return BiLSTMEncoder(enc_cfg, dtype=dtype)
-    if isinstance(enc_cfg, TCNEncoderConfig) or getattr(enc_cfg, "kind", "") == "tcn":
-        return TCNEncoder(enc_cfg, dtype=dtype)
-    raise ValueError(f"unknown encoder config {type(enc_cfg)}")
+        cls = BiLSTMEncoder
+    elif isinstance(enc_cfg, TCNEncoderConfig) or getattr(enc_cfg, "kind", "") == "tcn":
+        cls = TCNEncoder
+    else:
+        raise ValueError(f"unknown encoder config {type(enc_cfg)}")
+    if remat:
+        # Rematerialize encoder activations in the backward pass (trade FLOPs
+        # for HBM); `train` stays a static Python bool (flax counts the module
+        # itself as arg 0, so train is positional index 3).
+        cls = nn.remat(cls, static_argnums=(3,))
+    return cls(enc_cfg, dtype=dtype)
 
 
 def encoder_output_dim(model_cfg: ModelConfig) -> int:
@@ -59,9 +66,10 @@ class ASRModel(nn.Module):
     frontend_cfg: FrontendConfig
     model_cfg: ModelConfig
     vocab_size: int
+    remat_encoder: bool = False    # cfg.train.remat_encoder (SURVEY: jax.checkpoint)
 
     def setup(self):
-        self.encoder = build_encoder(self.model_cfg)
+        self.encoder = build_encoder(self.model_cfg, remat=self.remat_encoder)
         dtype = _dtype(self.model_cfg.compute_dtype)
         self.ctc_head = nn.Dense(self.vocab_size, dtype=dtype, name="ctc_head")
         if self.model_cfg.decoder is not None:
@@ -100,7 +108,7 @@ class ASRModel(nn.Module):
                 num_time_masks=self.frontend_cfg.sa_time_masks,
                 time_mask_fraction=self.frontend_cfg.sa_time_fraction)
             feats = spec_augment(self.make_rng("dropout"), feats, feat_len, sa_cfg)
-        enc, enc_len = self.encoder(feats, feat_len, train=train)
+        enc, enc_len = self.encoder(feats, feat_len, train)
         return enc, enc_len
 
     def __call__(self, audio, audio_len, targets=None, target_len=None,

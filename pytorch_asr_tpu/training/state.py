@@ -79,7 +79,8 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
 
 def build_model(cfg: ExperimentConfig, tokenizer: CharTokenizer | None = None) -> ASRModel:
     tokenizer = tokenizer or CharTokenizer()
-    return ASRModel(cfg.frontend, cfg.model, tokenizer.vocab_size)
+    return ASRModel(cfg.frontend, cfg.model, tokenizer.vocab_size,
+                    remat_encoder=cfg.train.remat_encoder)
 
 
 def init_train_state(cfg: ExperimentConfig, model: ASRModel,

@@ -181,3 +181,21 @@ def test_ema_blends_only_on_optimizer_updates():
         0.5 * _first_leaf(st.ema_params) + 0.5 * p2, rtol=0, atol=1e-6)
     # logged LR reflects optimizer updates, not micro-batches
     assert float(aux1["lr"]) <= float(aux2["lr"])
+
+
+def test_remat_encoder_matches_plain():
+    """cfg.train.remat_encoder must not change values — only recompute
+    activations in the backward pass."""
+    cfg = _tiny_cfg()
+    cfg_r = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat_encoder=True))
+    model, st, batch = _state_and_batch(cfg)
+    model_r, st_r, _ = _state_and_batch(cfg_r)
+    np.testing.assert_array_equal(_first_leaf(st.params), _first_leaf(st_r.params))
+
+    s1, a1 = jax.jit(tstate.make_train_step(cfg, model))(st, batch)
+    s2, a2 = jax.jit(tstate.make_train_step(cfg_r, model_r))(st_r, batch)
+    np.testing.assert_allclose(float(a1["loss"]), float(a2["loss"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(_first_leaf(s1.params), _first_leaf(s2.params),
+                               rtol=1e-5, atol=1e-6)
