@@ -85,3 +85,30 @@ def test_eval_wer_cli(tmp_path):
         env=env, capture_output=True, text=True)
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert abs(rec["wer"] - 0.2) < 1e-9
+
+
+def test_align_cli(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    tsv = tmp_path / "align.tsv"
+    out = subprocess.run(
+        [sys.executable, "-m", "pytorch_asr_tpu.align", "ctc_bilstm_dev1h",
+         "data.batch_size=2",
+         "data.bucket_audio_lens=48000",
+         "data.bucket_label_lens=48",
+         "data.synthetic_num_utts=2",
+         "model.encoder.hidden_dim=16",
+         "model.encoder.num_layers=1",
+         "model.encoder.conv_channels=4",
+         "model.compute_dtype=float32",
+         "frontend.use_pallas=false",
+         "train.checkpoint_dir=" + str(tmp_path / "ckpt"),
+         "dump_path=" + str(tsv)],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = tsv.read_text().splitlines()
+    assert len(lines) > 2
+    for line in lines:
+        utt, ch, s, e = line.split("\t")
+        assert float(e) >= float(s) >= 0.0
+        assert len(ch) <= 1
