@@ -23,14 +23,20 @@ from pytorch_asr_tpu.configs.base import BiLSTMEncoderConfig
 
 
 def _lstm_scan(xproj: jax.Array, whh: jax.Array, valid: jax.Array,
-               carry_dtype=jnp.float32) -> jax.Array:
+               carry_dtype=jnp.float32, reverse: bool = False) -> jax.Array:
     """Run an LSTM over time.
 
     Args:
       xproj: (T, B, 4H) precomputed input projection (+bias).
       whh:   (H, 4H) hidden-to-hidden weights.
       valid: (T, B) bool; where False the carry passes through unchanged.
-    Returns: (T, B, H) hidden states.
+      reverse: walk t = T-1..0 via lax.scan(reverse=True).  Deliberately
+        flip-free: jnp.flip on the projected inputs lets XLA fuse the flip
+        into the projection matmul, changing its bf16 accumulation order by
+        ulps -- which 100+ recurrence steps amplify to O(1) output changes
+        (measured on v5e; the Pallas kernel is bit-exact vs THIS formulation
+        in both directions).
+    Returns: (T, B, H) hidden states in natural time order.
     """
     T, B, H4 = xproj.shape
     H = H4 // 4
@@ -49,7 +55,7 @@ def _lstm_scan(xproj: jax.Array, whh: jax.Array, valid: jax.Array,
         c_new = jnp.where(m, c_new, c)
         return (h_new, c_new), h_new
 
-    _, hs = jax.lax.scan(cell, (h0, c0), (xproj, valid))
+    _, hs = jax.lax.scan(cell, (h0, c0), (xproj, valid), reverse=reverse)
     return hs
 
 
@@ -86,16 +92,11 @@ class LSTMDirection(nn.Module):
             xproj = (x.astype(self.dtype) @ wih.astype(self.dtype)
                      ).astype(jnp.float32) + b
             xproj = jnp.swapaxes(xproj, 0, 1)                  # (T, B, 4H)
-            t_idx = jnp.arange(T)[:, None]
-            if self.reverse:
-                xproj = jnp.flip(xproj, axis=0)
-                # After flipping, a row's valid region starts at T - length.
-                valid = t_idx >= (T - lengths)[None, :]
-            else:
-                valid = t_idx < lengths[None, :]
-            hs = _lstm_scan(xproj, whh, valid)
-            if self.reverse:
-                hs = jnp.flip(hs, axis=0)
+            # Both directions share the [0, len) window; the reverse
+            # direction runs the scan itself backwards (no flips -- see
+            # _lstm_scan's docstring for why flips are numerically unsafe).
+            valid = jnp.arange(T)[:, None] < lengths[None, :]
+            hs = _lstm_scan(xproj, whh, valid, reverse=self.reverse)
             out = jnp.swapaxes(hs, 0, 1)                       # (B, T, H)
         mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
         return jnp.where(mask, out, 0.0).astype(self.dtype)

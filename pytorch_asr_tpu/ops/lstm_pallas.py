@@ -16,11 +16,17 @@ residuals.  This design removes all of it:
   * the REVERSE direction is processed by walking the grid and the in-chunk
     loop backwards -- no jnp.flip copies; outputs land in natural time order
     and both directions share the same [0, len) mask window.
-  * backward is remat-style: the forward stores only h outputs plus per-chunk
-    (h, c) boundary snapshots ((T/tc, B, H) -- ~1% of the old residuals); the
-    backward re-runs the chunk forward from the snapshot in VMEM scratch,
-    then walks it in reverse accumulating dwih/dwhh/dbias in scratch and
-    writing dx blocks.  HBM residual traffic drops ~5x.
+  * the TRAINING forward stores the gate activations (i, f, g, o) and cell
+    states to HBM; the backward is then a single reverse walk with NO
+    recomputation -- no x@wih replay, no chunk re-forward.  Profiling showed
+    the recompute-from-snapshot design spent ~33% of backward MXU flops
+    replaying the forward (both kernels run at 75-81% of the MXU roofline,
+    so flop removal is the only lever left).  The h-prev/c-prev sequences the
+    weight grads need are reconstructed VECTORIZED from the stored tensors
+    (h_t = o_t * tanh(c_t) at valid steps; invalid steps have zero dgates so
+    their garbage rows contribute nothing).
+  * the INFERENCE forward (primal call outside jax.grad) uses a variant that
+    skips the residual writes, so decode pays no extra HBM traffic.
   * in-chunk recurrences are lax.fori_loop over VMEM scratch (time-major for
     leading-dim dynamic indexing) -- unrolled Python loops spilled >100 MB of
     registers at tc=32.
@@ -64,9 +70,10 @@ def _gates(pre, H):
     return i, f, g, o
 
 
-def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref, start_ref,
+def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref,
                 end_ref, hs_ref, h0_ref, c0_ref, h_sc, c_sc, xp_sc, ht_sc,
-                *, tc: int, H: int, n_chunks: int, reverse: bool):
+                *, tc: int, H: int, n_chunks: int, reverse: bool,
+                acts_ref=None, ct_ref=None):
     ic = pl.program_id(0)
     B = h_sc.shape[0]
 
@@ -87,7 +94,7 @@ def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref, start_ref,
                  preferred_element_type=jnp.float32).reshape(tc, B, 4 * H)
     xp_sc[:] = xp + b_ref[:].reshape(1, 1, 4 * H)
     whh = whh_ref[:]
-    start, end = start_ref[:], end_ref[:]
+    end = end_ref[:]
 
     def step(k, carry):
         h, c = carry
@@ -97,12 +104,17 @@ def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref, start_ref,
         # beats bf16x3 splits here (measured 1.55 vs 2.06 ms/direction).
         pre = xp_sc[j] + _d(h, whh)
         i, f, g, o = _gates(pre, H)
+        if acts_ref is not None:
+            # Candidate gate values; invalid steps are masked in the backward.
+            acts_ref[j] = jnp.concatenate([i, f, g, o], axis=1)
         c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
-        m = (t >= start) & (t < end)                     # (B, 1)
+        m = t < end                                      # (B, 1)
         h = jnp.where(m, h_new, h)
         c = jnp.where(m, c_new, c)
         ht_sc[j] = h
+        if ct_ref is not None:
+            ct_ref[j] = c       # MASKED carry: the c entering step j+1
         return h, c
 
     h, c = jax.lax.fori_loop(0, tc, step, (h_sc[:], c_sc[:]))
@@ -111,13 +123,20 @@ def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref, start_ref,
     c_sc[:] = c
 
 
-def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, wih_t_ref,
-                whh_ref, whh_t_ref, b_ref,
-                start_ref, end_ref,
+def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
+                wih_t_ref, whh_t_ref, end_ref,
                 dx_ref, dwih_ref, dwhh_ref, db_ref,
                 dh_sc, dc_sc, dwih_sc, dwhh_sc, db_sc,
-                xp_sc, act_sc, hp_sc, cp_sc, gt_sc, dg_sc,
+                hp_sc, cp_sc, tanh_sc, gt_sc, dg_sc,
                 *, tc: int, H: int, n_chunks: int, reverse: bool):
+    """Single reverse walk over stored residuals -- no forward recompute.
+
+    Processing-order 'previous' state sequences are built vectorized:
+      cp[j] = c entering processing step at natural index j  (stored ct,
+              shifted by one processing step; chunk boundary from c0)
+      hp[j] = h entering that step = o_prev * tanh(c_prev) at valid steps
+              (garbage at invalid steps is harmless: dgates rows are zero).
+    """
     ic = pl.program_id(0)
     B = dh_sc.shape[0]
 
@@ -131,46 +150,35 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, wih_t_ref,
 
     # Backward walks chunks opposite to the forward processing order.
     chunk = ic if reverse else (n_chunks - 1 - ic)
-    xb = x_ref[:]                                        # (B, tc, D)
-    D = xb.shape[-1]
-    x_tb = jnp.swapaxes(xb, 0, 1).reshape(tc * B, D)
-    xp = jnp.dot(x_tb, wih_ref[:],
-                 preferred_element_type=jnp.float32).reshape(tc, B, 4 * H)
-    xp_sc[:] = xp + b_ref[:].reshape(1, 1, 4 * H)
     gt_sc[:] = jnp.swapaxes(ghs_ref[:], 0, 1)            # (tc, B, H)
-    whh = whh_ref[:]
+    ct = ct_ref[:]                                       # (tc, B, H)
+    tanh_sc[:] = jnp.tanh(ct)
+    # h outputs reconstructed from residuals (valid steps only -- see above).
+    o_all = acts_ref[:, :, 3 * H:]
+    h_all = o_all * tanh_sc[:]
+    if reverse:
+        # processing order walks natural time DESCENDING: the state entering
+        # natural step j came out of natural step j+1.
+        hp_sc[0:tc - 1] = h_all[1:tc]
+        hp_sc[tc - 1] = h0_ref[0]
+        cp_sc[0:tc - 1] = ct[1:tc]
+        cp_sc[tc - 1] = c0_ref[0]
+    else:
+        hp_sc[0] = h0_ref[0]
+        hp_sc[1:tc] = h_all[0:tc - 1]
+        cp_sc[0] = c0_ref[0]
+        cp_sc[1:tc] = ct[0:tc - 1]
     whh_t = whh_t_ref[:]
-    start, end = start_ref[:], end_ref[:]
+    end = end_ref[:]
 
-    # ---- recompute the chunk forward from the boundary snapshot ------------
-    def fstep(k, carry):
-        h, c = carry
-        j = (tc - 1 - k) if reverse else k
-        t = chunk * tc + j
-        hp_sc[j] = h
-        cp_sc[j] = c
-        pre = xp_sc[j] + _d(h, whh)
-        i, f, g, o = _gates(pre, H)
-        act_sc[0, j] = i
-        act_sc[1, j] = f
-        act_sc[2, j] = g
-        act_sc[3, j] = o
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
-        m = (t >= start) & (t < end)
-        return jnp.where(m, h_new, h), jnp.where(m, c_new, c)
-
-    jax.lax.fori_loop(0, tc, fstep, (h0_ref[0], c0_ref[0]))
-
-    # ---- reverse-time gradient walk -----------------------------------------
     def bstep(k, carry):
         dh, dc = carry
         j = k if reverse else (tc - 1 - k)
         t = chunk * tc + j
-        i, f, g, o = act_sc[0, j], act_sc[1, j], act_sc[2, j], act_sc[3, j]
+        a = acts_ref[j]
+        i, f, g, o = a[:, :H], a[:, H:2 * H], a[:, 2 * H:3 * H], a[:, 3 * H:]
         c_prev = cp_sc[j]
-        c_t = f * c_prev + i * g
-        tanh_ct = jnp.tanh(c_t)
+        tanh_ct = tanh_sc[j]    # == tanh(f*c_prev + i*g) at valid steps
         dh_tot = dh + gt_sc[j]
         do = dh_tot * tanh_ct
         dc_tot = dc + dh_tot * o * (1.0 - tanh_ct * tanh_ct)
@@ -179,7 +187,7 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, wih_t_ref,
              dc_tot * c_prev * f * (1.0 - f),
              dc_tot * i * (1.0 - g * g),
              do * o * (1.0 - o)], axis=1)                # (B, 4H)
-        m = (t >= start) & (t < end)
+        m = t < end
         dgates = jnp.where(m, dgates, 0.0)
         dg_sc[j] = dgates
         dh = jnp.where(m, _d(dgates, whh_t), dh_tot)
@@ -190,6 +198,9 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, wih_t_ref,
     dh_sc[:] = dh
     dc_sc[:] = dc
 
+    xb = x_ref[:]                                        # (B, tc, D)
+    D = xb.shape[-1]
+    x_tb = jnp.swapaxes(xb, 0, 1).reshape(tc * B, D)
     dgs = dg_sc[:].reshape(tc * B, 4 * H)
     # NOTE: hand-rolled bf16x3 splits were tried for these products and were
     # SLOWER than plain fp32 dots (19.2 vs 16.3 ms full-grad step at B=64):
@@ -213,12 +224,6 @@ def _bwd_kernel(x_ref, ghs_ref, h0_ref, c0_ref, wih_ref, wih_t_ref,
         db_ref[:] = db_sc[:]
 
 
-def _windows(lengths, B):
-    start = jnp.zeros((B, 1), jnp.int32)
-    end = lengths.astype(jnp.int32)[:, None]
-    return start, end
-
-
 def _pad_time(x, t_pad):
     T = x.shape[1]
     if t_pad == T:
@@ -238,25 +243,58 @@ def lstm_seq(x, wih, whh, bias, lengths, reverse=False):
     Returns: (B, T, H) float32 hidden states (carried values outside the
       window, matching the lax.scan reference in models/encoder_bilstm.py).
     """
-    hs, _ = _fwd_impl(x, wih, whh, bias, lengths, reverse)
+    hs, _, _, _, _ = _fwd_impl(x, wih, whh, bias, lengths, reverse,
+                               save_residuals=False)
     return hs
 
 
-def _fwd_impl(x, wih, whh, bias, lengths, reverse):
+def _fwd_impl(x, wih, whh, bias, lengths, reverse, save_residuals):
     B, T, D = x.shape
     H = whh.shape[0]
     tc = _pick_tc(B)
     t_pad = _round_up(T, tc)
     n_chunks = t_pad // tc
     xp = _pad_time(x, t_pad)
-    start, end = _windows(lengths, B)
+    end = lengths.astype(jnp.int32)[:, None]
     idx = (lambda i: (0, n_chunks - 1 - i, 0)) if reverse else \
           (lambda i: (0, i, 0))
+    # time-major outputs (snapshots and residuals): block row = natural chunk
     snap_idx = (lambda i: (n_chunks - 1 - i, 0, 0)) if reverse else \
                (lambda i: (i, 0, 0))
     kern = functools.partial(_fwd_kernel, tc=tc, H=H, n_chunks=n_chunks,
                              reverse=reverse)
-    hs, h0, c0 = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((B, tc, H), idx),                 # hs
+        pl.BlockSpec((1, B, H), snap_idx),             # h snapshots
+        pl.BlockSpec((1, B, H), snap_idx),             # c snapshots
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, t_pad, H), jnp.float32),
+        jax.ShapeDtypeStruct((n_chunks, B, H), jnp.float32),
+        jax.ShapeDtypeStruct((n_chunks, B, H), jnp.float32),
+    ]
+    if save_residuals:
+        # pallas passes refs positionally; declare the extra outputs and map
+        # them onto the keyword refs in a wrapper.
+        out_specs += [
+            pl.BlockSpec((tc, B, 4 * H), snap_idx),    # gate activations
+            pl.BlockSpec((tc, B, H), snap_idx),        # cell-state carries
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((t_pad, B, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, B, H), jnp.float32),
+        ]
+
+        def kern(*refs, _inner=functools.partial(
+                _fwd_kernel, tc=tc, H=H, n_chunks=n_chunks, reverse=reverse)):
+            (x_ref, wih_ref, whh_ref, b_ref, end_ref,
+             hs_ref, h0_ref, c0_ref, acts_ref, ct_ref,
+             h_sc, c_sc, xp_sc, ht_sc) = refs
+            _inner(x_ref, wih_ref, whh_ref, b_ref, end_ref,
+                   hs_ref, h0_ref, c0_ref, h_sc, c_sc, xp_sc, ht_sc,
+                   acts_ref=acts_ref, ct_ref=ct_ref)
+
+    outs = pl.pallas_call(
         kern,
         grid=(n_chunks,),
         in_specs=[
@@ -264,19 +302,10 @@ def _fwd_impl(x, wih, whh, bias, lengths, reverse):
             pl.BlockSpec(memory_space=pltpu.VMEM),         # wih
             pl.BlockSpec(memory_space=pltpu.VMEM),         # whh
             pl.BlockSpec(memory_space=pltpu.VMEM),         # bias
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # start
             pl.BlockSpec(memory_space=pltpu.VMEM),         # end
         ],
-        out_specs=[
-            pl.BlockSpec((B, tc, H), idx),                 # hs
-            pl.BlockSpec((1, B, H), snap_idx),             # h snapshots
-            pl.BlockSpec((1, B, H), snap_idx),             # c snapshots
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, t_pad, H), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks, B, H), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),               # h carry
             pltpu.VMEM((B, H), jnp.float32),               # c carry
@@ -285,23 +314,31 @@ def _fwd_impl(x, wih, whh, bias, lengths, reverse):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(xp, wih, whh, bias.reshape(1, -1), start, end)
-    return hs[:, :T], (x, wih, whh, bias, lengths, h0, c0, t_pad)
+    )(xp, wih, whh, bias.reshape(1, -1), end)
+    if save_residuals:
+        hs, h0, c0, acts, ct = outs
+    else:
+        (hs, h0, c0), acts, ct = outs, None, None
+    return hs[:, :T], h0, c0, acts, ct
 
 
 def _vjp_fwd(x, wih, whh, bias, lengths, reverse):
-    return _fwd_impl(x, wih, whh, bias, lengths, reverse)
+    hs, h0, c0, acts, ct = _fwd_impl(x, wih, whh, bias, lengths, reverse,
+                                     save_residuals=True)
+    res = (x, wih, whh, bias, lengths, h0, c0, acts, ct)
+    return hs, res
 
 
 def _vjp_bwd(reverse, res, g_hs):
-    x, wih, whh, bias, lengths, h0, c0, t_pad = res
+    x, wih, whh, bias, lengths, h0, c0, acts, ct = res
     B, T, D = x.shape
     H = whh.shape[0]
     tc = _pick_tc(B)
+    t_pad = acts.shape[0]
     n_chunks = t_pad // tc
     xp = _pad_time(x, t_pad)
     ghs = _pad_time(g_hs.astype(jnp.float32), t_pad)
-    start, end = _windows(lengths, B)
+    end = lengths.astype(jnp.int32)[:, None]
     # whh^T / wih^T precomputed outside the kernel: in-kernel transposes of
     # VMEM-resident weights sat on the serial backward walk (~3% of the step).
     whh_t = whh.T
@@ -319,14 +356,12 @@ def _vjp_bwd(reverse, res, g_hs):
         in_specs=[
             pl.BlockSpec((B, tc, D), idx),                 # x
             pl.BlockSpec((B, tc, H), idx),                 # ghs
+            pl.BlockSpec((tc, B, 4 * H), snap_idx),        # gate activations
+            pl.BlockSpec((tc, B, H), snap_idx),            # cell-state carries
             pl.BlockSpec((1, B, H), snap_idx),             # h snapshots
             pl.BlockSpec((1, B, H), snap_idx),             # c snapshots
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # wih
             pl.BlockSpec(memory_space=pltpu.VMEM),         # wih^T
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # whh
             pl.BlockSpec(memory_space=pltpu.VMEM),         # whh^T
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # bias
-            pl.BlockSpec(memory_space=pltpu.VMEM),         # start
             pl.BlockSpec(memory_space=pltpu.VMEM),         # end
         ],
         out_specs=[
@@ -347,17 +382,15 @@ def _vjp_bwd(reverse, res, g_hs):
             pltpu.VMEM((D, 4 * H), jnp.float32),           # dwih accum
             pltpu.VMEM((H, 4 * H), jnp.float32),           # dwhh accum
             pltpu.VMEM((1, 4 * H), jnp.float32),           # dbias accum
-            pltpu.VMEM((tc, B, 4 * H), jnp.float32),       # xproj chunk
-            pltpu.VMEM((4, tc, B, H), jnp.float32),        # i/f/g/o acts
-            pltpu.VMEM((tc, B, H), jnp.float32),           # h_prev
-            pltpu.VMEM((tc, B, H), jnp.float32),           # c_prev
+            pltpu.VMEM((tc, B, H), jnp.float32),           # h_prev (rebuilt)
+            pltpu.VMEM((tc, B, H), jnp.float32),           # c_prev (rebuilt)
+            pltpu.VMEM((tc, B, H), jnp.float32),           # tanh(c_t)
             pltpu.VMEM((tc, B, H), jnp.float32),           # ghs (t-major)
             pltpu.VMEM((tc, B, 4 * H), jnp.float32),       # dgates buffer
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(xp, ghs, h0, c0, wih, wih_t, whh, whh_t,
-      bias.reshape(1, -1), start, end)
+    )(xp, ghs, acts, ct, h0, c0, wih_t, whh_t, end)
     dx = dx[:, :T]
     return (dx, dwih.astype(wih.dtype), dwhh.astype(whh.dtype),
             db.reshape(bias.shape).astype(bias.dtype), None)

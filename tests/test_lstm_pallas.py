@@ -28,22 +28,18 @@ def _case(seed, B=4, T=40, D=24, H=16, varied=True):
     return x, wih, whh, bias, lengths
 
 
-def _scan_dir(xproj, whh, lengths, reverse):
-    """(B, T, 4H) projected inputs -> (B, T, H) via the scan cell."""
-    T = xproj.shape[1]
-    xp = jnp.swapaxes(xproj, 0, 1)
-    tidx = jnp.arange(T)[:, None]
-    valid = (tidx >= (T - lengths)[None, :]) if reverse else (tidx < lengths[None, :])
-    hs = _lstm_scan(xp.astype(jnp.float32), whh, valid)
-    return jnp.swapaxes(hs, 0, 1)
-
-
 def _ref(x, wih, whh, bias, lengths, reverse):
+    """Flip-free scan reference: lax.scan(reverse=...) over the SAME
+    projected inputs both directions.  A jnp.flip-based reference is
+    numerically unsafe on TPU: XLA fuses the flip into the projection
+    matmul, perturbing its bf16 accumulation by ulps, which long
+    recurrences amplify to O(1) differences (measured on v5e)."""
+    T = x.shape[1]
     xproj = x @ wih + bias
-    if reverse:
-        hs = _scan_dir(jnp.flip(xproj, axis=1), whh, lengths, reverse=True)
-        return jnp.flip(hs, axis=1)
-    return _scan_dir(xproj, whh, lengths, reverse=False)
+    xp = jnp.swapaxes(xproj, 0, 1)
+    valid = jnp.arange(T)[:, None] < lengths[None, :]
+    hs = _lstm_scan(xp.astype(jnp.float32), whh, valid, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)
 
 
 @pytest.mark.parametrize("reverse", [False, True])
