@@ -83,11 +83,13 @@ class LSTMDirection(nn.Module):
 
         if self.use_pallas and jax.default_backend() == "tpu":
             # Fully-fused kernel: input projection + recurrence in one Pallas
-            # program, in-kernel direction reversal (ops/lstm_pallas.py).
+            # program, in-kernel direction reversal AND window masking, output
+            # already in compute dtype (ops/lstm_pallas.py).
             from pytorch_asr_tpu.ops.lstm_pallas import lstm_seq
 
-            out = lstm_seq(x.astype(self.dtype), wih.astype(self.dtype),
-                           whh, b, lengths, self.reverse)      # (B, T, H) f32
+            return lstm_seq(x.astype(self.dtype), wih.astype(self.dtype),
+                            whh, b, lengths, self.reverse,
+                            jnp.dtype(self.dtype))             # (B, T, H)
         else:
             xproj = (x.astype(self.dtype) @ wih.astype(self.dtype)
                      ).astype(jnp.float32) + b

@@ -112,13 +112,16 @@ def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref,
         m = t < end                                      # (B, 1)
         h = jnp.where(m, h_new, h)
         c = jnp.where(m, c_new, c)
-        ht_sc[j] = h
+        # Output is ZERO outside [0, len): the window mask the model applied
+        # after the kernel is folded in here (saves a full (B, T, H) f32
+        # read+write pass per direction).
+        ht_sc[j] = jnp.where(m, h_new, 0.0)
         if ct_ref is not None:
             ct_ref[j] = c       # MASKED carry: the c entering step j+1
         return h, c
 
     h, c = jax.lax.fori_loop(0, tc, step, (h_sc[:], c_sc[:]))
-    hs_ref[:] = jnp.swapaxes(ht_sc[:], 0, 1)             # (B, tc, H)
+    hs_ref[:] = jnp.swapaxes(ht_sc[:], 0, 1).astype(hs_ref.dtype)
     h_sc[:] = h
     c_sc[:] = c
 
@@ -190,7 +193,9 @@ def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
         m = t < end
         dgates = jnp.where(m, dgates, 0.0)
         dg_sc[j] = dgates
-        dh = jnp.where(m, _d(dgates, whh_t), dh_tot)
+        # Invalid steps: the OUTPUT there is a constant 0, so upstream
+        # grads (gt) must not leak into the carry chain.
+        dh = jnp.where(m, _d(dgates, whh_t), dh)
         dc = jnp.where(m, dc_tot * f, dc)
         return dh, dc
 
@@ -231,8 +236,8 @@ def _pad_time(x, t_pad):
     return jnp.pad(x, ((0, 0), (0, t_pad - T)) + ((0, 0),) * (x.ndim - 2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def lstm_seq(x, wih, whh, bias, lengths, reverse=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def lstm_seq(x, wih, whh, bias, lengths, reverse=False, out_dtype=None):
     """Fused masked LSTM over a batch-major padded sequence.
 
     Args:
@@ -240,15 +245,17 @@ def lstm_seq(x, wih, whh, bias, lengths, reverse=False):
       wih: (D, 4H) input weights; whh: (H, 4H); bias: (4H,).
       lengths: (B,) valid lengths; the mask window is [0, len) for BOTH
         directions -- reverse=True processes t = T-1..0 internally.
-    Returns: (B, T, H) float32 hidden states (carried values outside the
-      window, matching the lax.scan reference in models/encoder_bilstm.py).
+      out_dtype: output dtype (None -> float32).  bf16 halves the HBM
+        write + downstream read traffic; the recurrence stays fp32.
+    Returns: (B, T, H) hidden states, ZERO outside the window (the window
+      mask is folded into the kernel).
     """
     hs, _, _, _, _ = _fwd_impl(x, wih, whh, bias, lengths, reverse,
-                               save_residuals=False)
+                               out_dtype, save_residuals=False)
     return hs
 
 
-def _fwd_impl(x, wih, whh, bias, lengths, reverse, save_residuals):
+def _fwd_impl(x, wih, whh, bias, lengths, reverse, out_dtype, save_residuals):
     B, T, D = x.shape
     H = whh.shape[0]
     tc = _pick_tc(B)
@@ -269,7 +276,7 @@ def _fwd_impl(x, wih, whh, bias, lengths, reverse, save_residuals):
         pl.BlockSpec((1, B, H), snap_idx),             # c snapshots
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((B, t_pad, H), jnp.float32),
+        jax.ShapeDtypeStruct((B, t_pad, H), out_dtype or jnp.float32),
         jax.ShapeDtypeStruct((n_chunks, B, H), jnp.float32),
         jax.ShapeDtypeStruct((n_chunks, B, H), jnp.float32),
     ]
@@ -322,14 +329,14 @@ def _fwd_impl(x, wih, whh, bias, lengths, reverse, save_residuals):
     return hs[:, :T], h0, c0, acts, ct
 
 
-def _vjp_fwd(x, wih, whh, bias, lengths, reverse):
+def _vjp_fwd(x, wih, whh, bias, lengths, reverse, out_dtype):
     hs, h0, c0, acts, ct = _fwd_impl(x, wih, whh, bias, lengths, reverse,
-                                     save_residuals=True)
+                                     out_dtype, save_residuals=True)
     res = (x, wih, whh, bias, lengths, h0, c0, acts, ct)
     return hs, res
 
 
-def _vjp_bwd(reverse, res, g_hs):
+def _vjp_bwd(reverse, out_dtype, res, g_hs):
     x, wih, whh, bias, lengths, h0, c0, acts, ct = res
     B, T, D = x.shape
     H = whh.shape[0]

@@ -39,6 +39,8 @@ def _ref(x, wih, whh, bias, lengths, reverse):
     xp = jnp.swapaxes(xproj, 0, 1)
     valid = jnp.arange(T)[:, None] < lengths[None, :]
     hs = _lstm_scan(xp.astype(jnp.float32), whh, valid, reverse=reverse)
+    # The kernel folds the window mask in: zero outside [0, len).
+    hs = jnp.where(valid[..., None], hs, 0.0)
     return jnp.swapaxes(hs, 0, 1)
 
 
@@ -110,3 +112,18 @@ def test_adaptive_time_chunk(B, want_tc):
     ref = _ref(x, wih, whh, bias, lengths, False)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_pallas_bf16_output():
+    """out_dtype=bfloat16: same values as f32 up to bf16 rounding; masked
+    region stays exactly zero."""
+    x, wih, whh, bias, lengths = _case(9)
+    with pltpu.force_tpu_interpret_mode():
+        f32 = lstm_seq(x, wih, whh, bias, lengths, False)
+        b16 = lstm_seq(x, wih, whh, bias, lengths, False, jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(b16, np.float32), np.asarray(f32),
+                               rtol=0.02, atol=0.01)
+    T = x.shape[1]
+    mask = np.arange(T)[None, :] >= np.asarray(lengths)[:, None]
+    assert np.all(np.asarray(b16, np.float32)[mask] == 0)
