@@ -106,7 +106,8 @@ def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref,
         i, f, g, o = _gates(pre, H)
         if acts_ref is not None:
             # Candidate gate values; invalid steps are masked in the backward.
-            acts_ref[j] = jnp.concatenate([i, f, g, o], axis=1)
+            acts_ref[j] = jnp.concatenate([i, f, g, o],
+                                          axis=1).astype(acts_ref.dtype)
         c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
         m = t < end                                      # (B, 1)
@@ -117,7 +118,8 @@ def _fwd_kernel(x_ref, wih_ref, whh_ref, b_ref,
         # read+write pass per direction).
         ht_sc[j] = jnp.where(m, h_new, 0.0)
         if ct_ref is not None:
-            ct_ref[j] = c       # MASKED carry: the c entering step j+1
+            # MASKED carry: the c entering step j+1
+            ct_ref[j] = c.astype(ct_ref.dtype)
         return h, c
 
     h, c = jax.lax.fori_loop(0, tc, step, (h_sc[:], c_sc[:]))
@@ -154,10 +156,10 @@ def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
     # Backward walks chunks opposite to the forward processing order.
     chunk = ic if reverse else (n_chunks - 1 - ic)
     gt_sc[:] = jnp.swapaxes(ghs_ref[:], 0, 1)            # (tc, B, H)
-    ct = ct_ref[:]                                       # (tc, B, H)
+    ct = ct_ref[:].astype(jnp.float32)                   # (tc, B, H)
     tanh_sc[:] = jnp.tanh(ct)
     # h outputs reconstructed from residuals (valid steps only -- see above).
-    o_all = acts_ref[:, :, 3 * H:]
+    o_all = acts_ref[:, :, 3 * H:].astype(jnp.float32)
     h_all = o_all * tanh_sc[:]
     if reverse:
         # processing order walks natural time DESCENDING: the state entering
@@ -178,7 +180,7 @@ def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
         dh, dc = carry
         j = k if reverse else (tc - 1 - k)
         t = chunk * tc + j
-        a = acts_ref[j]
+        a = acts_ref[j].astype(jnp.float32)
         i, f, g, o = a[:, :H], a[:, H:2 * H], a[:, 2 * H:3 * H], a[:, 3 * H:]
         c_prev = cp_sc[j]
         tanh_ct = tanh_sc[j]    # == tanh(f*c_prev + i*g) at valid steps
@@ -236,8 +238,9 @@ def _pad_time(x, t_pad):
     return jnp.pad(x, ((0, 0), (0, t_pad - T)) + ((0, 0),) * (x.ndim - 2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def lstm_seq(x, wih, whh, bias, lengths, reverse=False, out_dtype=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def lstm_seq(x, wih, whh, bias, lengths, reverse=False, out_dtype=None,
+             residual_dtype=jnp.bfloat16):
     """Fused masked LSTM over a batch-major padded sequence.
 
     Args:
@@ -247,15 +250,20 @@ def lstm_seq(x, wih, whh, bias, lengths, reverse=False, out_dtype=None):
         directions -- reverse=True processes t = T-1..0 internally.
       out_dtype: output dtype (None -> float32).  bf16 halves the HBM
         write + downstream read traffic; the recurrence stays fp32.
+      residual_dtype: dtype of the saved gate activations / cell carries the
+        backward consumes.  The backward is DMA-limited (72% MXU utilization
+        with f32 residuals), so bf16 residuals buy real time; gates live in
+        [-1, 1] where bf16's ~0.4% relative rounding is negligible against
+        SGD gradient noise.  Tests pin f32 for exact-parity checks.
     Returns: (B, T, H) hidden states, ZERO outside the window (the window
       mask is folded into the kernel).
     """
     hs, _, _, _, _ = _fwd_impl(x, wih, whh, bias, lengths, reverse,
-                               out_dtype, save_residuals=False)
+                               out_dtype, None, save_residuals=False)
     return hs
 
 
-def _fwd_impl(x, wih, whh, bias, lengths, reverse, out_dtype, save_residuals):
+def _fwd_impl(x, wih, whh, bias, lengths, reverse, out_dtype, residual_dtype, save_residuals):
     B, T, D = x.shape
     H = whh.shape[0]
     tc = _pick_tc(B)
@@ -288,8 +296,8 @@ def _fwd_impl(x, wih, whh, bias, lengths, reverse, out_dtype, save_residuals):
             pl.BlockSpec((tc, B, H), snap_idx),        # cell-state carries
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((t_pad, B, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, B, 4 * H), residual_dtype),
+            jax.ShapeDtypeStruct((t_pad, B, H), residual_dtype),
         ]
 
         def kern(*refs, _inner=functools.partial(
@@ -329,14 +337,15 @@ def _fwd_impl(x, wih, whh, bias, lengths, reverse, out_dtype, save_residuals):
     return hs[:, :T], h0, c0, acts, ct
 
 
-def _vjp_fwd(x, wih, whh, bias, lengths, reverse, out_dtype):
+def _vjp_fwd(x, wih, whh, bias, lengths, reverse, out_dtype, residual_dtype):
     hs, h0, c0, acts, ct = _fwd_impl(x, wih, whh, bias, lengths, reverse,
-                                     out_dtype, save_residuals=True)
+                                     out_dtype, residual_dtype or jnp.float32,
+                                     save_residuals=True)
     res = (x, wih, whh, bias, lengths, h0, c0, acts, ct)
     return hs, res
 
 
-def _vjp_bwd(reverse, out_dtype, res, g_hs):
+def _vjp_bwd(reverse, out_dtype, residual_dtype, res, g_hs):
     x, wih, whh, bias, lengths, h0, c0, acts, ct = res
     B, T, D = x.shape
     H = whh.shape[0]

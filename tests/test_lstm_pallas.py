@@ -60,7 +60,9 @@ def test_lstm_pallas_grad_parity(reverse):
     x, wih, whh, bias, lengths = _case(3, B=2, T=24, D=12, H=8)
 
     def loss_pallas(x_, wih_, whh_, b_):
-        return jnp.sum(jnp.tanh(lstm_seq(x_, wih_, whh_, b_, lengths, reverse)))
+        # f32 residuals for exact parity (bf16 is the training default).
+        return jnp.sum(jnp.tanh(lstm_seq(x_, wih_, whh_, b_, lengths, reverse,
+                                         None, jnp.float32)))
 
     def loss_ref(x_, wih_, whh_, b_):
         return jnp.sum(jnp.tanh(_ref(x_, wih_, whh_, b_, lengths, reverse)))
@@ -127,3 +129,23 @@ def test_lstm_pallas_bf16_output():
     T = x.shape[1]
     mask = np.arange(T)[None, :] >= np.asarray(lengths)[:, None]
     assert np.all(np.asarray(b16, np.float32)[mask] == 0)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_pallas_grad_bf16_residuals(reverse):
+    """Default bf16 residuals: grads match the f32-residual grads to ~bf16
+    rounding (gates live in [-1, 1])."""
+    x, wih, whh, bias, lengths = _case(11, B=2, T=24, D=12, H=8)
+
+    def loss(rdt):
+        def fn(x_, wih_, whh_, b_):
+            return jnp.sum(jnp.tanh(
+                lstm_seq(x_, wih_, whh_, b_, lengths, reverse, None, rdt)))
+        return fn
+
+    with pltpu.force_tpu_interpret_mode():
+        g16 = jax.grad(loss(jnp.bfloat16), argnums=(0, 1, 2, 3))(x, wih, whh, bias)
+        g32 = jax.grad(loss(jnp.float32), argnums=(0, 1, 2, 3))(x, wih, whh, bias)
+    for name, a, b in zip(("dx", "dwih", "dwhh", "dbias"), g16, g32):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 0.03, name
