@@ -23,6 +23,16 @@ from pytorch_asr_tpu.ops import make_decoder_io, smoothed_ce_loss
 from pytorch_asr_tpu.ops.ctc_pallas import ctc_loss_auto as ctc_loss
 
 
+def apply_rng_impl(cfg: ExperimentConfig) -> None:
+    """Set the global default PRNG impl from cfg.train.rng_impl.
+
+    Call BEFORE init_train_state (key shapes differ per impl: threefry (2,)
+    uint32 vs rbg (4,)); checkpoints resume under the same config, so shapes
+    stay consistent across save/restore.
+    """
+    jax.config.update("jax_default_prng_impl", cfg.train.rng_impl)
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -85,6 +95,10 @@ def build_model(cfg: ExperimentConfig, tokenizer: CharTokenizer | None = None) -
 
 def init_train_state(cfg: ExperimentConfig, model: ASRModel,
                      sample_batch: dict[str, Any]) -> TrainState:
+    # Legacy (raw-array) keys take their impl from jax's global default;
+    # drivers call apply_rng_impl(cfg) first so dropout/augmentation masks
+    # use cfg.train.rng_impl ('rbg' = hardware RngBitGenerator, far cheaper
+    # than threefry on TPU).  Raw keys keep orbax checkpoints plain arrays.
     rng = jax.random.PRNGKey(cfg.train.seed)
     init_rng, state_rng = jax.random.split(rng)
     tok = CharTokenizer()

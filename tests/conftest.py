@@ -8,16 +8,24 @@ works -- as long as no test device has been touched yet.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# ASR_TPU_TESTS=1 leaves the real backend alone so tests/test_tpu_parity.py
+# can check kernels on actual hardware (run it alone: the rest of the suite
+# is written for the 8-virtual-device CPU mesh).
+_ON_TPU = os.environ.get("ASR_TPU_TESTS", "") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
-assert jax.default_backend() == "cpu", (
-    "tests must run on the virtual-CPU backend; a real backend was initialized "
-    "before conftest could redirect it"
-)
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the virtual-CPU backend; a real backend was "
+        "initialized before conftest could redirect it"
+    )

@@ -1,0 +1,123 @@
+"""On-hardware kernel parity checks (opt-in; skipped on the CPU test mesh).
+
+Run alone against a real chip:
+
+    ASR_TPU_TESTS=1 python -m pytest tests/test_tpu_parity.py -q
+
+Why this exists: interpreter-mode tests execute the same arithmetic as the
+reference, so they cannot see TPU-compile-specific numerics.  Investigating a
+suspected reverse-direction LSTM bug showed the real hazard class: XLA fusing
+a jnp.flip into a bf16 matmul changes its accumulation order by ulps, and a
+250-step recurrence amplifies that to O(1) output changes.  The kernels are
+bit-exact against flip-free references on hardware; these tests pin that.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ASR_TPU_TESTS", "") != "1"
+    or jax.default_backend() not in ("tpu",),
+    reason="needs ASR_TPU_TESTS=1 and a real TPU backend",
+)
+
+
+def _lstm_case(B=32, T=96, D=64, H=64):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T, D)) * 0.3, jnp.float32)
+    wih = jax.nn.initializers.xavier_uniform()(
+        jax.random.PRNGKey(0), (D, 4 * H), jnp.float32)
+    whh = jax.nn.initializers.orthogonal()(
+        jax.random.PRNGKey(1), (H, 4 * H), jnp.float32)
+    b = jnp.zeros((4 * H,), jnp.float32).at[H:2 * H].set(1.0)
+    lens = jnp.asarray(rng.integers(T // 2, T + 1, size=B), jnp.int32)
+    return x, wih, whh, b, lens
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_kernel_bitexact_vs_flipfree_scan_on_tpu(reverse):
+    from pytorch_asr_tpu.models.encoder_bilstm import _lstm_scan
+    from pytorch_asr_tpu.ops.lstm_pallas import lstm_seq
+
+    x, wih, whh, b, lens = _lstm_case()
+    T = x.shape[1]
+
+    def ref(x, wih, whh, b):
+        xp = jnp.swapaxes((x @ wih + b).astype(jnp.float32), 0, 1)
+        valid = jnp.arange(T)[:, None] < lens[None, :]
+        hs = _lstm_scan(xp, whh, valid, reverse=reverse)
+        hs = jnp.where(valid[..., None], hs, 0.0)
+        return jnp.swapaxes(hs, 0, 1)
+
+    ours = jax.jit(lstm_seq, static_argnums=(5, 6, 7))(
+        x, wih, whh, b, lens, reverse, None, jnp.float32)
+    want = jax.jit(ref)(x, wih, whh, b)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(want))
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_kernel_grads_close_on_tpu(reverse):
+    from pytorch_asr_tpu.models.encoder_bilstm import _lstm_scan
+    from pytorch_asr_tpu.ops.lstm_pallas import lstm_seq
+
+    x, wih, whh, b, lens = _lstm_case()
+    T = x.shape[1]
+
+    def loss_k(x, wih, whh, b):
+        return jnp.sum(jnp.tanh(lstm_seq(x, wih, whh, b, lens, reverse)))
+
+    def loss_r(x, wih, whh, b):
+        xp = jnp.swapaxes((x @ wih + b).astype(jnp.float32), 0, 1)
+        valid = jnp.arange(T)[:, None] < lens[None, :]
+        hs = _lstm_scan(xp, whh, valid, reverse=reverse)
+        hs = jnp.where(valid[..., None], hs, 0.0)
+        return jnp.sum(jnp.tanh(hs))
+
+    gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2, 3)))(x, wih, whh, b)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2, 3)))(x, wih, whh, b)
+    for nm, a, c in zip(("dx", "dwih", "dwhh", "db"), gk, gr):
+        scale = np.abs(np.asarray(c)).max() + 1e-6
+        rel = np.abs(np.asarray(a) - np.asarray(c)).max() / scale
+        assert rel < 0.02, f"{nm}: rel {rel:.3e}"
+
+
+def test_stft_kernel_parity_on_tpu():
+    from pytorch_asr_tpu.configs.base import FrontendConfig
+    from pytorch_asr_tpu.frontend import features
+    from pytorch_asr_tpu.ops.stft_pallas import log_mel_pallas
+
+    cfg = FrontendConfig()
+    rng = np.random.default_rng(1)
+    B, A = 8, 16000 * 2
+    audio = jnp.asarray(rng.standard_normal((B, A)) * 0.1, jnp.float32)
+    alen = jnp.asarray(rng.integers(A // 2, A + 1, size=B), jnp.int32)
+    ref_feats, ref_len = jax.jit(
+        lambda a, l: features.log_mel(a, l, cfg))(audio, alen)
+    pl_feats, pl_len = jax.jit(
+        lambda a, l: log_mel_pallas(a, l, cfg))(audio, alen)
+    np.testing.assert_array_equal(np.asarray(ref_len), np.asarray(pl_len))
+    # bf16x3 DFT/mel matmul path: tolerance = the kernel's documented parity
+    # bound on normalized log-mels (IMPLEMENTATION.md: 3.3e-2 max-abs).
+    np.testing.assert_allclose(np.asarray(pl_feats), np.asarray(ref_feats),
+                               atol=6e-2)
+
+
+def test_ctc_kernel_parity_on_tpu():
+    from pytorch_asr_tpu.ops.ctc import ctc_loss as ctc_loss_jnp
+    from pytorch_asr_tpu.ops.ctc_pallas import ctc_loss_auto
+
+    rng = np.random.default_rng(2)
+    B, T, V, S = 8, 64, 31, 20
+    logits = jnp.asarray(rng.standard_normal((B, T, V)), jnp.float32)
+    llen = jnp.asarray(rng.integers(T // 2, T + 1, size=B), jnp.int32)
+    tokens = jnp.asarray(rng.integers(1, V, size=(B, S)), jnp.int32)
+    tlen = jnp.asarray(rng.integers(1, S + 1, size=B), jnp.int32)
+    ours = jax.jit(ctc_loss_auto)(logits, llen, tokens, tlen)
+    want = jax.jit(ctc_loss_jnp)(logits, llen, tokens, tlen)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(want),
+                               rtol=1e-4, atol=1e-3)
