@@ -38,7 +38,7 @@ def build():
     from pytorch_asr_tpu.configs.base import DataConfig, FrontendConfig
     from pytorch_asr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
     from pytorch_asr_tpu.training.state import (
-        apply_rng_impl, build_model, init_train_state, make_train_step)
+        build_model, init_train_state, make_train_step)
 
     A = int(AUDIO_SEC * SAMPLE_RATE)
     L = 256
@@ -58,7 +58,6 @@ def build():
     }
     mesh = make_mesh(cfg.mesh, batch_size=BATCH)
     model = build_model(cfg)
-    apply_rng_impl(cfg)
     state = init_train_state(cfg, model, host_batch)
     state = state.replace(params=shard_params(mesh, state.params),
                           opt_state=shard_params(mesh, state.opt_state))

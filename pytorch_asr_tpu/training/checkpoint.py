@@ -42,6 +42,25 @@ class CheckpointManager:
         if not os.path.exists(meta_path):
             with open(meta_path, "w") as fh:
                 json.dump(_meta(cfg), fh, indent=2, default=str)
+        else:
+            with open(meta_path) as fh:
+                stored = json.load(fh)
+            # Shape-bearing fields must match or orbax fails with an opaque
+            # "requested shape not compatible" deep inside restore; surface a
+            # diagnosable error instead.
+            stored_impl = stored.get("config", {}).get("train", {}).get("rng_impl")
+            if stored_impl is not None and stored_impl != cfg.train.rng_impl:
+                raise ValueError(
+                    f"checkpoint dir {self.directory} was written with "
+                    f"train.rng_impl={stored_impl!r} but the current config "
+                    f"uses {cfg.train.rng_impl!r} (different RNG key shapes); "
+                    "resume with the original rng_impl or use a fresh "
+                    "checkpoint_dir")
+            if stored.get("config_name") not in (None, cfg.name):
+                raise ValueError(
+                    f"checkpoint dir {self.directory} belongs to experiment "
+                    f"{stored.get('config_name')!r}, not {cfg.name!r}; use a "
+                    "fresh checkpoint_dir")
 
     def save(self, state: TrainState, iterator_state: dict | None = None) -> None:
         step = int(state.step)

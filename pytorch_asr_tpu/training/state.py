@@ -23,16 +23,6 @@ from pytorch_asr_tpu.ops import make_decoder_io, smoothed_ce_loss
 from pytorch_asr_tpu.ops.ctc_pallas import ctc_loss_auto as ctc_loss
 
 
-def apply_rng_impl(cfg: ExperimentConfig) -> None:
-    """Set the global default PRNG impl from cfg.train.rng_impl.
-
-    Call BEFORE init_train_state (key shapes differ per impl: threefry (2,)
-    uint32 vs rbg (4,)); checkpoints resume under the same config, so shapes
-    stay consistent across save/restore.
-    """
-    jax.config.update("jax_default_prng_impl", cfg.train.rng_impl)
-
-
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -95,12 +85,15 @@ def build_model(cfg: ExperimentConfig, tokenizer: CharTokenizer | None = None) -
 
 def init_train_state(cfg: ExperimentConfig, model: ASRModel,
                      sample_batch: dict[str, Any]) -> TrainState:
-    # Legacy (raw-array) keys take their impl from jax's global default;
-    # drivers call apply_rng_impl(cfg) first so dropout/augmentation masks
-    # use cfg.train.rng_impl ('rbg' = hardware RngBitGenerator, far cheaper
-    # than threefry on TPU).  Raw keys keep orbax checkpoints plain arrays.
-    rng = jax.random.PRNGKey(cfg.train.seed)
+    # Keys are created with an EXPLICIT impl (cfg.train.rng_impl: 'rbg' =
+    # hardware RngBitGenerator, far cheaper than threefry on TPU for the
+    # per-step dropout/augmentation masks) and stored as raw key data so
+    # orbax checkpoints stay plain arrays.  Key shapes differ per impl
+    # (threefry (2,) vs rbg (4,) uint32); checkpoints resume under the same
+    # config, so shapes stay consistent across save/restore.
+    rng = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
     init_rng, state_rng = jax.random.split(rng)
+    state_rng = jax.random.key_data(state_rng)
     tok = CharTokenizer()
     dec_in, _, _ = make_decoder_io(
         jnp.asarray(sample_batch["tokens"]), jnp.asarray(sample_batch["token_len"]),
@@ -178,7 +171,9 @@ def make_train_step(cfg: ExperimentConfig, model: ASRModel):
     tx = make_optimizer(cfg.train.optim)
 
     def train_step(state: TrainState, batch):
-        rng, step_rng = jax.random.split(state.rng)
+        rng, step_rng = jax.random.split(
+            jax.random.wrap_key_data(state.rng, impl=cfg.train.rng_impl))
+        rng = jax.random.key_data(rng)
 
         def loss_fn(params):
             return compute_losses(cfg, model, params, batch, step_rng,

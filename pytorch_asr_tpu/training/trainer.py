@@ -21,7 +21,6 @@ from pytorch_asr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from pytorch_asr_tpu.training.checkpoint import CheckpointManager
 from pytorch_asr_tpu.training.metrics import MetricsLogger, Throughput
 from pytorch_asr_tpu.training.state import (
-    apply_rng_impl,
     TrainState,
     build_model,
     eval_params,
@@ -70,7 +69,6 @@ class Trainer:
                       if enable_checkpoints else None)
 
         sample = next(iter(self.dataset.epoch_batches(seed=0)))
-        apply_rng_impl(cfg)
         self.state: TrainState = init_train_state(cfg, self.model, sample)
         if init_from_torch:
             self.state = self.state.replace(

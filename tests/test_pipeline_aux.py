@@ -92,3 +92,30 @@ def test_metrics_logger_tensorboard(tmp_path):
     with open(jsonl) as fh:
         lines = [line for line in fh if line.strip()]
     assert len(lines) == 2
+
+
+def test_checkpoint_dir_mismatch_guard(tmp_path):
+    """Reusing a checkpoint dir across experiments / rng impls must raise a
+    clear error, not an opaque orbax shape failure (training/checkpoint.py)."""
+    import dataclasses
+
+    import pytest
+
+    from pytorch_asr_tpu.configs import get_config
+    from pytorch_asr_tpu.training.checkpoint import CheckpointManager
+
+    cfg = get_config("ctc_bilstm_dev1h")
+    d = str(tmp_path / "ckpt")
+    CheckpointManager(cfg, directory=d).close()
+
+    other = get_config("tcn_ctc_devclean")
+    with pytest.raises(ValueError, match="belongs to experiment"):
+        CheckpointManager(other, directory=d)
+
+    flipped = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, rng_impl="threefry2x32"))
+    with pytest.raises(ValueError, match="rng_impl"):
+        CheckpointManager(flipped, directory=d)
+
+    # Same config is fine.
+    CheckpointManager(cfg, directory=d).close()
