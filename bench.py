@@ -24,7 +24,10 @@ import numpy as np
 
 BASELINE_AUDIO_S_PER_S = 50.0   # literature anchor, see module docstring
 
-BATCH = 128    # best measured throughput point (64: ~37k, 128: ~42.6k audio-s/s)
+import os
+
+BATCH = int(os.environ.get("ASR_BENCH_BATCH", "128"))  # best measured point
+                                                       # (64: ~45k, 128: ~55.7k)
 AUDIO_SEC = 10.0
 SAMPLE_RATE = 16000
 WARMUP_STEPS = 3

