@@ -162,8 +162,8 @@ def attention_beam_search(
         lm_rnn = None
     cum_att = jnp.zeros((B, K, T), jnp.float32) if coverage_beta != 0.0 else None
 
-    def scan_step(carry, _):
-        hyp, dec_state, y_prev, ctc_state, lm_ctx, lm_rnn, cum_att = carry
+    def scan_step(carry):
+        step, hyp, dec_state, y_prev, ctc_state, lm_ctx, lm_rnn, cum_att = carry
         flat = _flatten_state(dec_state)
         logits, new_flat = model.apply(
             {"params": params}, enc_k, enc_projed, enc_mask,
@@ -273,13 +273,21 @@ def attention_beam_search(
         else:
             new_cum = None
 
-        return (new_hyp, gdec, new_y, new_ctc, new_lm_ctx, new_lm_rnn,
-                new_cum), None
+        return (step + 1, new_hyp, gdec, new_y, new_ctc, new_lm_ctx,
+                new_lm_rnn, new_cum)
 
-    (hyp, _, _, _, _, _, cum_att), _ = jax.lax.scan(
-        scan_step,
-        (hyp, dec_state, y_prev, ctc_state, lm_ctx, lm_rnn, cum_att),
-        None, length=U)
+    # lax.while_loop instead of a fixed-length scan: the loop exits as soon as
+    # every (B, K) beam has emitted eos, so decode cost tracks actual
+    # hypothesis length rather than max_len.  (Decode-only path -- no grads --
+    # so while_loop's non-differentiability is irrelevant.)
+    def scan_cond(carry):
+        step, hyp = carry[0], carry[1]
+        return (step < U) & ~jnp.all(hyp.finished)
+
+    (_, hyp, _, _, _, _, _, cum_att) = jax.lax.while_loop(
+        scan_cond, scan_step,
+        (jnp.int32(0), hyp, dec_state, y_prev, ctc_state, lm_ctx, lm_rnn,
+         cum_att))
 
     # Unfinished beams never produced eos: keep their raw score (they competed
     # fairly); rank with length normalization.

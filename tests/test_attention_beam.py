@@ -212,3 +212,64 @@ def test_coverage_bonus():
         assert 0 <= k <= T and np.isclose(k, round(k), atol=1e-2), (b, k)
         # a trained-enough hypothesis attends at least one frame per char
         assert k >= float(c_l[b]) * 0 and np.isfinite(float(c_s[b]))
+
+
+class _EosAfterKModel:
+    """Fake model: deterministic decoder that strongly prefers token 2 for the
+    first ``k_emit`` steps and eos afterwards (step counter carried in c[0,:,0]).
+    Exercises the early-exit while_loop: once all beams emit eos, extra
+    ``max_len`` budget must not change anything."""
+
+    vocab_size = 8
+
+    def __init__(self, k_emit, eos_id):
+        self.k_emit, self.eos_id = k_emit, eos_id
+
+    def decoder_begin(self):
+        pass
+
+    def decoder_step(self):
+        pass
+
+    def apply(self, variables, *args, method=None):
+        from pytorch_asr_tpu.models.las_decoder import DecoderState
+
+        if method.__name__ == "decoder_begin":
+            enc, enc_len = args
+            BK, T, D = enc.shape
+            st = DecoderState(h=jnp.zeros((1, BK, 4)), c=jnp.zeros((1, BK, 4)),
+                              att=jnp.zeros((BK, T)), ctx=jnp.zeros((BK, D)))
+            mask = jnp.arange(T)[None, :] < enc_len[:, None]
+            return enc, mask, st
+        enc, enc_projed, enc_mask, y, st = args
+        count = st.c[0, :, 0]                                  # steps so far
+        want_eos = count >= self.k_emit
+        logits = jnp.where(
+            want_eos[:, None],
+            jax.nn.one_hot(jnp.full(count.shape, self.eos_id), self.vocab_size),
+            jax.nn.one_hot(jnp.full(count.shape, 2), self.vocab_size)) * 50.0
+        new_c = st.c.at[0, :, 0].add(1.0)
+        att = jax.nn.one_hot(jnp.minimum(count.astype(jnp.int32),
+                                         st.att.shape[1] - 1), st.att.shape[1])
+        return logits, st._replace(c=new_c, att=att)
+
+
+def test_early_exit_invariant_to_max_len():
+    """All beams finish after k_emit+1 steps; a 16x larger max_len budget must
+    return identical tokens/lengths/scores (the while_loop exits early)."""
+    sos, eos = 1, 3                       # must be < the fake model's vocab (8)
+    model = _EosAfterKModel(k_emit=3, eos_id=eos)
+    B, T, D = 2, 12, 6
+    enc = jnp.ones((B, T, D))
+    enc_len = jnp.asarray([12, 9])
+    kw = dict(sos_id=sos, eos_id=eos, beam_size=4, length_norm=1.0,
+              coverage_beta=1e-3, coverage_tau=0.5)
+    t1, l1, s1 = attention_beam_search(model, None, enc, enc_len,
+                                       max_len=8, **kw)
+    t2, l2, s2 = attention_beam_search(model, None, enc, enc_len,
+                                       max_len=128, **kw)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(t1)[:, :8], np.asarray(t2)[:, :8])
+    assert np.all(np.asarray(t2)[:, 8:] == 0)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(l1), [3, 3])
