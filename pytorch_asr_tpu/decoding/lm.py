@@ -79,13 +79,148 @@ def train_char_ngram(texts: list[str], order: int = 3,
     return BackoffLM(order, logprobs, backoffs)
 
 
+def train_char_ngram_kn(texts: list[str], order: int = 4,
+                        tokenizer: CharTokenizer | None = None,
+                        include_eos: bool = False) -> BackoffLM:
+    """Interpolated modified Kneser-Ney char LM (Chen & Goodman 1998).
+
+    This is the estimator KenLM implements -- the reference genre shells out
+    to KenLM (C++) to build its shallow-fusion ARPA models; this builds them
+    in-framework so no external tooling is needed.  Produces a standard
+    backoff ARPA model: stored probabilities are the *interpolated* KN
+    probabilities and backoff(ctx) = log gamma(ctx), so ``BackoffLM.score``
+    / ``write_arpa`` / ``tensorize`` all apply unchanged.
+
+    ``include_eos`` appends the tokenizer's eos id to every sentence so the
+    attention-beam eos slot gets a trained probability (CTC prefix fusion
+    never queries eos and can leave it off).
+    """
+    tok = tokenizer or CharTokenizer()
+    V = tok.vocab_size
+
+    # --- raw counts per order -------------------------------------------
+    counts: list[dict] = [defaultdict(int) for _ in range(order + 1)]
+    for text in texts:
+        ids = [int(i) for i in tok.encode(text)]
+        if include_eos:
+            ids.append(tok.eos_id)
+        for i in range(len(ids)):
+            for n in range(1, order + 1):
+                if i + n <= len(ids):
+                    counts[n][tuple(ids[i : i + n])] += 1
+
+    # --- continuation counts: lower orders count *types* of continuations
+    # N1+(. ctx w) -- the KN insight that P(w | ctx) at backoff levels should
+    # reflect how many distinct contexts w completes, not how often.
+    cont: list[dict] = [defaultdict(int) for _ in range(order)]
+    for n in range(2, order + 1):
+        seen = counts[n]
+        for ng in seen:
+            cont[n - 1][ng[1:]] += 1          # distinct left-extensions
+
+    def eff_counts(n: int) -> dict:
+        """Counts the order-n estimator runs on: raw at the top, continuation
+        below (unigram included)."""
+        return counts[n] if n == order else cont[n]
+
+    # --- modified KN discounts per order from count-of-counts ------------
+    def discounts(n: int) -> tuple[float, float, float]:
+        cc = defaultdict(int)
+        for _, c in eff_counts(n).items():
+            if c <= 4:
+                cc[c] += 1
+        n1, n2, n3, n4 = (max(cc[i], 1) for i in (1, 2, 3, 4))
+        y = n1 / (n1 + 2.0 * n2)
+        d1 = max(1.0 - 2.0 * y * n2 / n1, 0.0)
+        d2 = max(2.0 - 3.0 * y * n3 / n2, 0.0)
+        d3 = max(3.0 - 4.0 * y * n4 / n3, 0.0)
+        return d1, d2, d3
+
+    logprobs: dict[tuple, float] = {}
+    backoffs: dict[tuple, float] = {}
+
+    # --- unigram level: continuation probability interpolated with uniform
+    uni = eff_counts(1)
+    total1 = sum(uni.values()) or 1
+    d1u, d2u, d3u = discounts(1)
+
+    def dfor(c: int, d: tuple) -> float:
+        return d[0] if c == 1 else (d[1] if c == 2 else d[2])
+
+    n_types = [0.0, 0.0, 0.0]
+    for c in uni.values():
+        n_types[min(c, 3) - 1] += 1
+    gamma_uni = (d1u * n_types[0] + d2u * n_types[1] + d3u * n_types[2]) / total1
+    p_uni = {w: 0.0 for w in range(V)}
+    for (w,), c in uni.items():
+        p_uni[w] = max(c - dfor(c, (d1u, d2u, d3u)), 0.0) / total1
+    for w in range(V):
+        p_uni[w] += gamma_uni / V
+        # floor so every char keeps nonzero mass even with gamma ~ 0
+        p_uni[w] = max(p_uni[w], 1e-10)
+    z = sum(p_uni.values())
+    p_interp_prev = {(w,): p / z for w, p in p_uni.items()}
+    for ng, p in p_interp_prev.items():
+        logprobs[ng] = math.log(p)
+
+    # --- higher orders: absolute discounting + interpolation --------------
+    for n in range(2, order + 1):
+        eff = eff_counts(n)
+        d = discounts(n)
+        # per-context totals and type counts N_i(ctx .)
+        ctx_total: dict[tuple, int] = defaultdict(int)
+        ctx_types: dict[tuple, list] = defaultdict(lambda: [0, 0, 0])
+        for ng, c in eff.items():
+            ctx_total[ng[:-1]] += c
+            ctx_types[ng[:-1]][min(c, 3) - 1] += 1
+        p_interp: dict[tuple, float] = {}
+        for ctx, tot in ctx_total.items():
+            t1, t2, t3 = ctx_types[ctx]
+            gamma = (d[0] * t1 + d[1] * t2 + d[2] * t3) / tot
+            backoffs[ctx] = math.log(max(gamma, 1e-10))
+        for ng, c in eff.items():
+            ctx = ng[:-1]
+            lower = p_interp_prev.get(ng[1:])
+            if lower is None:
+                lower = math.exp(logprobs.get((ng[-1],), math.log(1e-10)))
+            p = (max(c - dfor(c, d), 0.0) / ctx_total[ctx]
+                 + math.exp(backoffs[ctx]) * lower)
+            p_interp[ng] = p
+            logprobs[ng] = math.log(max(p, 1e-12))
+        p_interp_prev = p_interp
+
+    return BackoffLM(order, logprobs, backoffs)
+
+
+def perplexity(lm: BackoffLM, texts: list[str],
+               tokenizer: CharTokenizer | None = None) -> float:
+    """Per-char perplexity of ``texts`` under ``lm`` (host-side, eval only)."""
+    tok = tokenizer or CharTokenizer()
+    total, n_tok = 0.0, 0
+    for text in texts:
+        ids = [int(i) for i in tok.encode(text)]
+        for i, c in enumerate(ids):
+            ctx = tuple(ids[max(0, i - (lm.order - 1)) : i])
+            total += lm.score(ctx, c)
+            n_tok += 1
+    return math.exp(-total / max(n_tok, 1))
+
+
 def read_arpa(path: str, tokenizer: CharTokenizer | None = None) -> BackoffLM:
     """Minimal ARPA reader for char-token LMs (tokens are single characters,
     '<space>' for space; <s>/</s>/<unk> are skipped)."""
     tok = tokenizer or CharTokenizer()
 
     def to_id(sym: str) -> int | None:
-        if sym in ("<s>", "</s>", "<unk>", "<UNK>"):
+        # Standard ARPA specials: <s> scores as our sos id, </s> as eos (the
+        # attention-beam eos slot), <blank> is this framework's CTC blank.
+        if sym == "<s>":
+            return tok.sos_id
+        if sym == "</s>":
+            return tok.eos_id
+        if sym == "<blank>":
+            return tok.blank_id
+        if sym in ("<unk>", "<UNK>"):
             return None
         ch = " " if sym == "<space>" else sym
         ids = tok.encode(ch)
@@ -133,6 +268,12 @@ def write_arpa(lm: BackoffLM, path: str,
     tok = tokenizer or CharTokenizer()
 
     def sym(i: int) -> str:
+        if i == tok.sos_id:
+            return "<s>"
+        if i == tok.eos_id:
+            return "</s>"
+        if i == tok.blank_id:
+            return "<blank>"
         ch = tok.decode([i])
         return "<space>" if ch == " " else ch
 
