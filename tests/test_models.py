@@ -242,3 +242,43 @@ def test_scheduled_sampling_paths():
     oracle = jnp.stack(logits, axis=1)
     np.testing.assert_allclose(np.asarray(ss1), np.asarray(oracle),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_error_breakdown():
+    from pytorch_asr_tpu.decoding.wer import corpus_breakdown, error_breakdown
+
+    # ref: a b c d ; hyp: a x c  ->  1 sub (b->x), 1 del (d), 2 hits
+    b = error_breakdown(list("abcd"), list("axc"))
+    assert (b["sub"], b["ins"], b["del"], b["hits"]) == (1, 0, 1, 2)
+    # pure insertion
+    b = error_breakdown(list("ab"), list("aXb"))
+    assert (b["sub"], b["ins"], b["del"], b["hits"]) == (0, 1, 0, 2)
+    # S+I+D must equal edit distance on random pairs
+    import numpy as np
+
+    from pytorch_asr_tpu.decoding.wer import edit_distance
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        r = list(rng.integers(0, 4, rng.integers(0, 9)))
+        h = list(rng.integers(0, 4, rng.integers(0, 9)))
+        b = error_breakdown(r, h)
+        assert b["sub"] + b["ins"] + b["del"] == edit_distance(r, h)
+        assert b["hits"] + b["sub"] + b["del"] == len(r)
+        assert b["hits"] + b["sub"] + b["ins"] == len(h)
+
+    c = corpus_breakdown(["a b c d", "x y"], ["a b d", "x y"])
+    assert c["ref_tokens"] == 6 and c["del"] == 1 and c["wer"] == 1 / 6
+    assert c["per_utt"] == [0.25, 0.0]
+
+
+def test_eval_wer_detail_cli(tmp_path, capsys):
+    from pytorch_asr_tpu.eval_wer import main
+
+    (tmp_path / "ref.tsv").write_text("u1\tthe cat sat\nu2\tdogs run\n")
+    (tmp_path / "hyp.tsv").write_text("u1\tthe cat sat\nu2\tdog run\n")
+    main([str(tmp_path / "ref.tsv"), str(tmp_path / "hyp.tsv"), "detail=1"])
+    import json
+
+    out = json.loads(capsys.readouterr().out)
+    assert out["sub"] == 1 and out["ins"] == 0 and out["del"] == 0
+    assert out["wer"] == 1 / 5
