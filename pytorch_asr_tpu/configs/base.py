@@ -75,6 +75,11 @@ class BiLSTMEncoderConfig:
     num_layers: int = 4
     dropout: float = 0.1
     use_pallas: bool = True                 # fused Pallas LSTM kernel on TPU
+    # Streaming variant (decoding/streaming.py): unidirectional LSTM stack +
+    # left-only ("causal") conv padding, so output frame t depends only on
+    # input frames <= t and chunked inference can carry exact state.
+    bidirectional: bool = True
+    causal_conv: bool = False
 
 
 @dataclass(frozen=True)

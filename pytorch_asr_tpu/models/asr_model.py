@@ -49,7 +49,8 @@ def build_encoder(model_cfg: ModelConfig, remat: bool = False):
 def encoder_output_dim(model_cfg: ModelConfig) -> int:
     enc_cfg = model_cfg.encoder
     if getattr(enc_cfg, "kind", "") == "bilstm":
-        return 2 * enc_cfg.hidden_dim
+        ndir = 2 if getattr(enc_cfg, "bidirectional", True) else 1
+        return ndir * enc_cfg.hidden_dim
     if getattr(enc_cfg, "kind", "") == "tcn":
         return enc_cfg.channels
     raise ValueError(f"unknown encoder config {type(enc_cfg)}")

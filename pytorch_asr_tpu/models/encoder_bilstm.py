@@ -122,6 +122,16 @@ def conv_out_len(length, kernel: int, stride: int):
     return jnp.maximum((length + 2 * p - kernel) // stride + 1, 0)
 
 
+def conv_out_len_causal(length, kernel: int, stride: int):
+    """Output length for left-only (causal) padding of kernel-1 frames.
+
+    Padded length = length + (kernel-1); out = (length-1)//stride + 1, i.e.
+    ceil(length/stride) -- output t consumes inputs <= t*stride only, which is
+    what lets decoding/streaming.py carry exact conv state across chunks.
+    """
+    return jnp.maximum(jnp.where(length > 0, (length - 1) // stride + 1, 0), 0)
+
+
 class ConvSubsampler(nn.Module):
     """Strided 2-D conv stack over (time, freq); reduces time by prod(strides).
 
@@ -139,13 +149,19 @@ class ConvSubsampler(nn.Module):
         lengths = feat_len
         kt, kf = self.cfg.conv_kernel
         pt, pf = (kt - 1) // 2, (kf - 1) // 2
+        causal = getattr(self.cfg, "causal_conv", False)
+        tpad = (kt - 1, 0) if causal else (pt, pt)
         for i, ch in enumerate(self.cfg.conv_channels):
             x = nn.Conv(ch, kernel_size=self.cfg.conv_kernel,
                         strides=self.cfg.conv_stride,
-                        padding=((pt, pt), (pf, pf)),
+                        padding=(tpad, (pf, pf)),
                         dtype=self.dtype, name=f"Conv_{i}")(x)
             x = nn.relu(x)
-            lengths = conv_out_len(lengths, kt, self.cfg.conv_stride[0])
+            if causal:
+                lengths = conv_out_len_causal(lengths, kt,
+                                              self.cfg.conv_stride[0])
+            else:
+                lengths = conv_out_len(lengths, kt, self.cfg.conv_stride[0])
             # Re-mask every layer: conv bias + relu make padded frames nonzero,
             # and the next strided conv would read them.
             mask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])
@@ -163,9 +179,11 @@ class BiLSTMEncoder(nn.Module):
 
     def subsampled_len(self, feat_len: jax.Array) -> jax.Array:
         lengths = feat_len
+        out_len = (conv_out_len_causal
+                   if getattr(self.cfg, "causal_conv", False) else conv_out_len)
         for _ in self.cfg.conv_channels:
-            lengths = conv_out_len(lengths, self.cfg.conv_kernel[0],
-                                   self.cfg.conv_stride[0])
+            lengths = out_len(lengths, self.cfg.conv_kernel[0],
+                              self.cfg.conv_stride[0])
         return lengths
 
     @nn.compact
@@ -174,14 +192,18 @@ class BiLSTMEncoder(nn.Module):
         x, lengths = ConvSubsampler(self.cfg, self.dtype)(feats, feat_len)
         H = self.cfg.hidden_dim
         use_pallas = getattr(self.cfg, "use_pallas", True)
+        bidi = getattr(self.cfg, "bidirectional", True)
         for layer in range(self.cfg.num_layers):
             fwd = LSTMDirection(H, reverse=False, dtype=self.dtype,
                                 use_pallas=use_pallas,
                                 name=f"lstm{layer}_fwd")(x, lengths)
-            bwd = LSTMDirection(H, reverse=True, dtype=self.dtype,
-                                use_pallas=use_pallas,
-                                name=f"lstm{layer}_bwd")(x, lengths)
-            x = jnp.concatenate([fwd, bwd], axis=-1)
+            if bidi:
+                bwd = LSTMDirection(H, reverse=True, dtype=self.dtype,
+                                    use_pallas=use_pallas,
+                                    name=f"lstm{layer}_bwd")(x, lengths)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
             if self.cfg.dropout > 0:
                 x = nn.Dropout(self.cfg.dropout, deterministic=not train)(x)
         return x, lengths

@@ -1,0 +1,153 @@
+"""Streaming recognition parity: chunked online == offline (SURVEY.md §2.1
+'Greedy CTC decoder' extended with an online path; decoding/streaming.py)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_asr_tpu.configs.base import (BiLSTMEncoderConfig, DataConfig,
+                                          DecodeConfig, ExperimentConfig,
+                                          FrontendConfig, ModelConfig)
+from pytorch_asr_tpu.decoding.greedy import greedy_ctc
+from pytorch_asr_tpu.decoding.streaming import (StreamingRecognizer,
+                                                init_stream_state)
+from pytorch_asr_tpu.models.asr_model import ASRModel
+from pytorch_asr_tpu.models.encoder_bilstm import (conv_out_len,
+                                                   conv_out_len_causal)
+
+VOCAB = 12
+
+
+def _streaming_cfg(**enc_kw) -> ExperimentConfig:
+    enc = BiLSTMEncoderConfig(conv_channels=(8, 8), conv_kernel=(3, 3),
+                              conv_stride=(2, 2), hidden_dim=32, num_layers=2,
+                              dropout=0.0, use_pallas=False,
+                              bidirectional=False, causal_conv=True, **enc_kw)
+    return ExperimentConfig(
+        name="streaming_test",
+        frontend=FrontendConfig(normalize=False, specaugment=False),
+        data=DataConfig(),
+        model=ModelConfig(encoder=enc, ctc_weight=1.0,
+                          compute_dtype="float32"),
+        decode=DecodeConfig(method="greedy"),
+    )
+
+
+def _init_model(cfg, key=0):
+    model = ASRModel(cfg.frontend, cfg.model, vocab_size=VOCAB)
+    variables = model.init(jax.random.PRNGKey(key),
+                           jnp.zeros((1, 16000), jnp.float32),
+                           jnp.array([16000]))
+    return model, variables["params"]
+
+
+def test_conv_out_len_causal():
+    # ceil(length / stride), independent of trailing padding
+    for L, k, s, want in [(1, 3, 2, 1), (2, 3, 2, 1), (3, 3, 2, 2),
+                          (8, 3, 2, 4), (9, 3, 2, 5), (0, 3, 2, 0)]:
+        got = int(conv_out_len_causal(jnp.array(L), k, s))
+        assert got == want, (L, k, s, got, want)
+
+
+def test_unidirectional_encoder_output_dim():
+    from pytorch_asr_tpu.models.asr_model import encoder_output_dim
+
+    cfg = _streaming_cfg()
+    assert encoder_output_dim(cfg.model) == 32
+    model, params = _init_model(cfg)
+    audio = np.random.default_rng(0).normal(size=(2, 16000)).astype(np.float32)
+    out = model.apply({"params": params}, jnp.asarray(audio),
+                      jnp.array([16000, 12000]))
+    assert out["enc"].shape[-1] == 32
+    # causal length: 100 frames -> 25 encoder frames (ceil/2 twice)
+    assert int(out["enc_len"][0]) == 25
+
+
+def test_causal_conv_is_causal():
+    """Changing the future must not change past encoder frames."""
+    cfg = _streaming_cfg()
+    model, params = _init_model(cfg)
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(1, 32000)).astype(np.float32)
+    b = a.copy()
+    b[:, 24000:] += rng.normal(size=(1, 8000)).astype(np.float32)
+    lens = jnp.array([32000])
+    ea = model.apply({"params": params}, jnp.asarray(a), lens)["enc"]
+    eb = model.apply({"params": params}, jnp.asarray(b), lens)["enc"]
+    # 24000 samples -> 148 frames -> 37 encoder frames untouched; allow the
+    # boundary frame to straddle the edit.
+    np.testing.assert_allclose(np.asarray(ea)[:, :36], np.asarray(eb)[:, :36],
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(ea), np.asarray(eb))
+
+
+def _offline_decode(model, params, audio):
+    B, N = audio.shape
+    out = model.apply({"params": params}, jnp.asarray(audio),
+                      jnp.full((B,), N, jnp.int32))
+    ids, n = greedy_ctc(out["ctc_logits"], out["enc_len"])
+    ids, n = np.asarray(ids), np.asarray(n)
+    return [ids[b, :n[b]].tolist() for b in range(B)]
+
+
+@pytest.mark.parametrize("chunk_samples", [1600, 4000, 7040])
+def test_streaming_matches_offline(chunk_samples):
+    cfg = _streaming_cfg()
+    model, params = _init_model(cfg)
+    B = 2
+    # 16 frames/block * 4 blocks: N = (64-1)*160 + 400 = 10480 -> exactly 64
+    # frames, so offline and streaming consume identical frame sets.
+    N = (64 - 1) * 160 + 400
+    rng = np.random.default_rng(2)
+    # Structured audio so the greedy path emits non-trivial token sequences.
+    t = np.arange(N, dtype=np.float32) / 16000.0
+    audio = np.stack([np.sin(2 * np.pi * (300 + 70 * b) * t) *
+                      (1.0 + 0.5 * np.sin(2 * np.pi * 3.0 * t))
+                      for b in range(B)]).astype(np.float32)
+    audio += rng.normal(size=audio.shape).astype(np.float32) * 0.1
+
+    want = _offline_decode(model, params, audio)
+
+    rec = StreamingRecognizer(params, cfg, batch_size=B, block_frames=16)
+    got = [[] for _ in range(B)]
+    for off in range(0, N, chunk_samples):
+        new = rec.accept(audio[:, off:off + chunk_samples])
+        for b in range(B):
+            got[b].extend(new[b])
+    new = rec.finish()
+    for b in range(B):
+        got[b].extend(new[b])
+
+    assert got == want
+    assert any(len(g) > 0 for g in got), "degenerate test: nothing decoded"
+
+
+def test_streaming_state_shapes_and_reset():
+    cfg = _streaming_cfg()
+    state = init_stream_state(cfg, batch_size=3)
+    assert state.conv_ctx[0].shape == (3, 2, 80, 1)
+    # freq after layer0: (80+2-3)//2+1 = 40
+    assert state.conv_ctx[1].shape == (3, 2, 40, 8)
+    assert state.lstm_h[0].shape == (3, 32)
+    assert int(state.prev_tok[0]) == -1
+
+
+def test_streaming_rejects_non_streamable():
+    cfg = _streaming_cfg()
+    bidi = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, encoder=dataclasses.replace(
+                cfg.model.encoder, bidirectional=True)))
+    with pytest.raises(ValueError, match="bidirectional"):
+        init_stream_state(bidi, 1)
+    norm = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(cfg.frontend, normalize=True))
+    with pytest.raises(ValueError, match="normalize"):
+        init_stream_state(norm, 1)
+    _, params = _init_model(cfg)
+    with pytest.raises(ValueError, match="multiple"):
+        StreamingRecognizer(params, cfg, batch_size=1, block_frames=6)
