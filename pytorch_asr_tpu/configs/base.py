@@ -48,7 +48,7 @@ class DataConfig:
 
     librispeech_root: str = ""      # empty -> synthetic audio fixture
     split: str = "dev-clean"
-    vocab: str = "char"             # char vocab; blank=0
+    vocab: str = "char"             # "char" | "bpe:<vocab.json>" (asr-train-bpe)
     batch_size: int = 8
     # Bucket boundaries in audio samples; each bucket is one static XLA shape.
     bucket_audio_lens: Tuple[int, ...] = (48000, 96000, 160000, 240000, 320000)

@@ -6,12 +6,13 @@ from pytorch_asr_tpu.configs.base import DataConfig
 from pytorch_asr_tpu.data.batching import Bucket, BucketedDataset
 from pytorch_asr_tpu.data.librispeech import load_corpus, scan_manifest
 from pytorch_asr_tpu.data.synthetic import synthetic_corpus
-from pytorch_asr_tpu.data.tokenizer import CharTokenizer
+from pytorch_asr_tpu.data.tokenizer import CharTokenizer, get_tokenizer
 
 __all__ = [
     "Bucket",
     "BucketedDataset",
     "CharTokenizer",
+    "get_tokenizer",
     "build_dataset",
     "load_corpus",
     "scan_manifest",
@@ -32,16 +33,13 @@ def load_corpus_for(cfg: DataConfig, sample_rate: int,
 
 def build_dataset(cfg: DataConfig, sample_rate: int, max_utts: int | None = None) -> BucketedDataset:
     """Build the bucketed dataset named by ``cfg`` (synthetic when no data root)."""
-    if cfg.vocab != "char":
-        raise ValueError(
-            f"unsupported vocab {cfg.vocab!r}: the framework (like the "
-            "reference genre) is char-based; only 'char' is implemented")
     corpus = load_corpus_for(cfg, sample_rate, max_utts)
     return BucketedDataset(
         corpus,
         batch_size=cfg.batch_size,
         bucket_audio_lens=cfg.bucket_audio_lens,
         bucket_label_lens=cfg.bucket_label_lens,
+        tokenizer=get_tokenizer(cfg.vocab),
     )
 
 
@@ -52,7 +50,7 @@ def build_grain_iterator(cfg: DataConfig, sample_rate: int,
 
     corpus = load_corpus_for(cfg, sample_rate)
     return GrainBucketedIterator(
-        corpus, batch_size=cfg.batch_size,
+        corpus, tokenizer=get_tokenizer(cfg.vocab), batch_size=cfg.batch_size,
         bucket_audio_lens=cfg.bucket_audio_lens,
         bucket_label_lens=cfg.bucket_label_lens,
         seed=cfg.shuffle_seed, num_shards=num_shards, shard_index=shard_index,

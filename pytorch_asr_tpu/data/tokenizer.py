@@ -10,9 +10,29 @@ Vocabulary layout (CTC-compatible):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 _CHARS = " abcdefghijklmnopqrstuvwxyz'"
+
+
+@functools.lru_cache(maxsize=16)
+def get_tokenizer(vocab: str = "char"):
+    """Tokenizer factory for ``DataConfig.vocab``.
+
+    ``"char"``        -> the char vocabulary below (reference-genre default)
+    ``"bpe:<path>"``  -> subword tokenizer trained by ``asr-train-bpe``
+                         (JSON vocab at <path>; see data/bpe.py)
+    """
+    if vocab == "char":
+        return CharTokenizer()
+    if vocab.startswith("bpe:"):
+        from pytorch_asr_tpu.data.bpe import BPETokenizer
+
+        return BPETokenizer.load(vocab[len("bpe:"):])
+    raise ValueError(
+        f"unsupported vocab {vocab!r}: expected 'char' or 'bpe:<vocab.json>'")
 
 
 class CharTokenizer:

@@ -20,12 +20,21 @@ from pytorch_asr_tpu.training.state import TrainState
 
 
 def _meta(cfg: ExperimentConfig) -> dict[str, Any]:
-    return {
+    meta: dict[str, Any] = {
         "config_name": cfg.name,
         "config": dataclasses.asdict(cfg),
-        "vocab": "char_v1",
+        "vocab": "char_v1" if cfg.data.vocab == "char" else cfg.data.vocab,
         "format_version": 1,
     }
+    if cfg.data.vocab.startswith("bpe:"):
+        # Embed the subword inventory so the checkpoint stays self-contained
+        # even if the external vocab JSON moves.
+        from pytorch_asr_tpu.data.tokenizer import get_tokenizer
+
+        tok = get_tokenizer(cfg.data.vocab)
+        meta["bpe"] = {"pieces": tok.pieces,
+                       "merges": [list(m) for m in tok.merges]}
+    return meta
 
 
 class CheckpointManager:

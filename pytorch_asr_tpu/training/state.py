@@ -16,7 +16,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from pytorch_asr_tpu.configs.base import ExperimentConfig, OptimConfig
-from pytorch_asr_tpu.data.tokenizer import CharTokenizer
+from pytorch_asr_tpu.data.tokenizer import CharTokenizer, get_tokenizer
 from pytorch_asr_tpu.frontend import features
 from pytorch_asr_tpu.models.asr_model import ASRModel
 from pytorch_asr_tpu.ops import make_decoder_io, smoothed_ce_loss
@@ -78,7 +78,7 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
 
 
 def build_model(cfg: ExperimentConfig, tokenizer: CharTokenizer | None = None) -> ASRModel:
-    tokenizer = tokenizer or CharTokenizer()
+    tokenizer = tokenizer or get_tokenizer(cfg.data.vocab)
     return ASRModel(cfg.frontend, cfg.model, tokenizer.vocab_size,
                     remat_encoder=cfg.train.remat_encoder)
 
@@ -94,7 +94,7 @@ def init_train_state(cfg: ExperimentConfig, model: ASRModel,
     rng = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
     init_rng, state_rng = jax.random.split(rng)
     state_rng = jax.random.key_data(state_rng)
-    tok = CharTokenizer()
+    tok = get_tokenizer(cfg.data.vocab)
     dec_in, _, _ = make_decoder_io(
         jnp.asarray(sample_batch["tokens"]), jnp.asarray(sample_batch["token_len"]),
         tok.sos_id, tok.eos_id)
@@ -121,7 +121,7 @@ def init_train_state(cfg: ExperimentConfig, model: ASRModel,
 def compute_losses(cfg: ExperimentConfig, model: ASRModel, params, batch,
                    rng, train: bool, step=None):
     """Forward + CTC/CE/joint loss.  Returns (scalar loss, aux dict)."""
-    tok = CharTokenizer()
+    tok = get_tokenizer(cfg.data.vocab)
     tokens = batch["tokens"]
     token_len = batch["token_len"]
     need_las = cfg.model.decoder is not None

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from pytorch_asr_tpu.configs.base import ExperimentConfig
-from pytorch_asr_tpu.data import BucketedDataset, CharTokenizer, build_dataset
+from pytorch_asr_tpu.data import BucketedDataset, build_dataset, get_tokenizer
 from pytorch_asr_tpu.decoding.wer import corpus_cer, corpus_wer
 from pytorch_asr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from pytorch_asr_tpu.training.checkpoint import CheckpointManager
@@ -43,7 +43,7 @@ class Trainer:
         tensorboard_dir: str | None = None,
     ) -> None:
         self.cfg = cfg
-        self.tokenizer = CharTokenizer()
+        self.tokenizer = get_tokenizer(cfg.data.vocab)
         explicit_dataset = dataset is not None
         self.dataset = dataset or build_dataset(cfg.data, cfg.frontend.sample_rate)
         self.eval_dataset = eval_dataset or self.dataset
