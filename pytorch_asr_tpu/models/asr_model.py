@@ -81,10 +81,19 @@ class ASRModel(nn.Module):
                                   dtype=dtype)
 
     def compute_features(self, audio: jax.Array, audio_len: jax.Array):
-        if self.frontend_cfg.use_pallas and jax.default_backend() == "tpu":
-            from pytorch_asr_tpu.ops.stft_pallas import log_mel_pallas
+        from pytorch_asr_tpu.ops.runtime import pallas_active, pallas_interpret
 
-            return log_mel_pallas(audio, audio_len, self.frontend_cfg)
+        if self.frontend_cfg.use_pallas and pallas_active():
+            from jax.sharding import PartitionSpec as P
+
+            from pytorch_asr_tpu.ops.stft_pallas import log_mel_pallas
+            from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
+
+            cfg, interp = self.frontend_cfg, pallas_interpret()
+            fn = lambda a, n: log_mel_pallas(a, n, cfg, interpret=interp)  # noqa: E731
+            fn = maybe_data_shard_map(fn, in_specs=(P("data"), P("data")),
+                                      out_specs=(P("data"), P("data")))
+            return fn(audio, audio_len)
         return features.log_mel(audio, audio_len, self.frontend_cfg)
 
     def encode(self, audio: jax.Array, audio_len: jax.Array, train: bool = False):

@@ -81,15 +81,27 @@ class LSTMDirection(nn.Module):
         # Forget-gate bias 1.0 (standard LSTM training stabilizer).
         b = self.param("bias", _lstm_bias_init, (4 * H,), jnp.float32)
 
-        if self.use_pallas and jax.default_backend() == "tpu":
+        from pytorch_asr_tpu.ops.runtime import pallas_active
+
+        if self.use_pallas and pallas_active():
             # Fully-fused kernel: input projection + recurrence in one Pallas
             # program, in-kernel direction reversal AND window masking, output
-            # already in compute dtype (ops/lstm_pallas.py).
-            from pytorch_asr_tpu.ops.lstm_pallas import lstm_seq
+            # already in compute dtype (ops/lstm_pallas.py).  On a multi-device
+            # mesh the call runs per-data-shard under shard_map (pallas_call
+            # is opaque to GSPMD); weight grads psum through the transpose.
+            from jax.sharding import PartitionSpec as P
 
-            return lstm_seq(x.astype(self.dtype), wih.astype(self.dtype),
-                            whh, b, lengths, self.reverse,
-                            jnp.dtype(self.dtype))             # (B, T, H)
+            from pytorch_asr_tpu.ops.lstm_pallas import lstm_seq
+            from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
+
+            reverse, dt = self.reverse, jnp.dtype(self.dtype)
+            fn = lambda x_, wih_, whh_, b_, len_: lstm_seq(  # noqa: E731
+                x_, wih_, whh_, b_, len_, reverse, dt)
+            fn = maybe_data_shard_map(
+                fn, in_specs=(P("data"), P(), P(), P(), P("data")),
+                out_specs=P("data"))
+            return fn(x.astype(self.dtype), wih.astype(self.dtype),
+                      whh, b, lengths)                         # (B, T, H)
         else:
             xproj = (x.astype(self.dtype) @ wih.astype(self.dtype)
                      ).astype(jnp.float32) + b

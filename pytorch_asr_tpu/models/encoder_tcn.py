@@ -48,6 +48,10 @@ class TCNBlock(nn.Module):
         self.b_conv = self.param("b_conv", zeros, (2 * C,), jnp.float32)
         self.w_point = self.param("w_point", init, (C, C), jnp.float32)
         self.b_point = self.param("b_point", zeros, (C,), jnp.float32)
+        # Submodules must be created in setup() for setup-style modules;
+        # constructing Dropout inside _xla_path raised AssignSubModuleError
+        # the moment dropout > 0 (i.e. config-3 training was broken).
+        self.drop = nn.Dropout(self.dropout)
 
     def _xla_path(self, x: jax.Array, train: bool) -> jax.Array:
         dt = self.dtype
@@ -63,17 +67,26 @@ class TCNBlock(nn.Module):
         y = lin * jax.nn.sigmoid(gate)
         y = y @ self.w_point.astype(dt) + self.b_point.astype(dt)
         if self.dropout > 0:
-            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            y = self.drop(y, deterministic=not train)
         return y
 
     def __call__(self, x: jax.Array, lengths: jax.Array, train: bool) -> jax.Array:
-        if self.use_pallas and not train and jax.default_backend() == "tpu":
-            from pytorch_asr_tpu.ops.dilated_conv_pallas import tcn_block_pallas
+        from pytorch_asr_tpu.ops.runtime import pallas_active, pallas_interpret
 
-            out = tcn_block_pallas(
-                x.astype(jnp.float32), self.ln_scale, self.ln_bias,
-                self.w_conv, self.b_conv, self.w_point, self.b_point,
-                dilation=self.dilation).astype(x.dtype)
+        if self.use_pallas and not train and pallas_active():
+            from jax.sharding import PartitionSpec as P
+
+            from pytorch_asr_tpu.ops.dilated_conv_pallas import tcn_block_pallas
+            from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
+
+            dilation, interp = self.dilation, pallas_interpret()
+            fn = lambda x_, *w: tcn_block_pallas(  # noqa: E731
+                x_, *w, dilation=dilation, interpret=interp)
+            fn = maybe_data_shard_map(fn, in_specs=(P("data"),) + (P(),) * 6,
+                                      out_specs=P("data"))
+            out = fn(x.astype(jnp.float32), self.ln_scale, self.ln_bias,
+                     self.w_conv, self.b_conv, self.w_point,
+                     self.b_point).astype(x.dtype)
             return _mask_time(out, lengths)
         y = self._xla_path(x.astype(jnp.float32), train)
         return _mask_time(x + y.astype(x.dtype), lengths)

@@ -35,6 +35,7 @@ from pytorch_asr_tpu.ops.ctc import (
     _skip_allowed,
     _terminal_logz,
 )
+from pytorch_asr_tpu.ops.runtime import pallas_active, pallas_interpret
 
 LANE = 128
 TIME_CHUNK = 32
@@ -186,6 +187,7 @@ def _run_forward(logp_tbs, skip_add, logit_len, s_pad, t_pad):
             jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bb, s_pad), jnp.float32)],
+        interpret=pallas_interpret(),
     )(logp_tbs, skip_add, lens)
     return alphas[:, :B], final[:B]
 
@@ -226,6 +228,7 @@ def _run_backward(logp_tbs, alphas, skip_add, beta_T, logit_len, logz,
             pltpu.VMEM((bb, s_pad), jnp.float32),         # beta carry
             pltpu.VMEM((bb, s_pad), jnp.float32),         # logp_{t+1} carry
         ],
+        interpret=pallas_interpret(),
     )(logp_tbs, alphas, skip_from, beta_T, lens, logz_p)
     return w[:, :B]
 
@@ -286,9 +289,16 @@ ctc_loss_pallas.defvjp(_fwd_rule, _bwd_rule)
 
 
 def ctc_loss_auto(logits, logit_len, labels, label_len, blank=0):
-    """Pallas kernels on TPU, jnp scan elsewhere."""
+    """Pallas kernels on TPU (per-data-shard under a mesh), jnp scan elsewhere."""
     from pytorch_asr_tpu.ops.ctc import ctc_loss
 
-    if jax.default_backend() == "tpu":
-        return ctc_loss_pallas(logits, logit_len, labels, label_len, blank)
+    if pallas_active():
+        from jax.sharding import PartitionSpec as P
+
+        from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
+
+        fn = lambda lo, ln, la, tl: ctc_loss_pallas(lo, ln, la, tl, blank)  # noqa: E731
+        fn = maybe_data_shard_map(fn, in_specs=(P("data"),) * 4,
+                                  out_specs=P("data"))
+        return fn(logits, logit_len, labels, label_len)
     return ctc_loss(logits, logit_len, labels, label_len, blank)

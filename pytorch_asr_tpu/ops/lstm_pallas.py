@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pytorch_asr_tpu.ops.runtime import pallas_interpret
+
 TIME_CHUNK = 32
 
 
@@ -329,6 +331,7 @@ def _fwd_impl(x, wih, whh, bias, lengths, reverse, out_dtype, residual_dtype, sa
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=pallas_interpret(),
     )(xp, wih, whh, bias.reshape(1, -1), end)
     if save_residuals:
         hs, h0, c0, acts, ct = outs
@@ -406,6 +409,7 @@ def _vjp_bwd(reverse, out_dtype, residual_dtype, res, g_hs):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=pallas_interpret(),
     )(xp, ghs, acts, ct, h0, c0, wih_t, whh_t, end)
     dx = dx[:, :T]
     return (dx, dwih.astype(wih.dtype), dwhh.astype(whh.dtype),

@@ -13,12 +13,57 @@ virtual CPU mesh (tests), or a multi-host pod slice (``jax.distributed``).
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pytorch_asr_tpu.configs.base import MeshConfig
+
+# The mesh the current program runs under.  Pallas kernels cannot be
+# partitioned by GSPMD (they lower to opaque Mosaic custom-calls), so on a
+# multi-device mesh every kernel call site wraps itself in
+# ``jax.shard_map`` over the 'data' axis -- and needs the concrete Mesh at
+# trace time.  The Trainer/driver registers it here; flax modules read it.
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_active_mesh(mesh: Mesh | None) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Mesh | None):
+    prev = _ACTIVE_MESH
+    set_active_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_active_mesh(prev)
+
+
+def maybe_data_shard_map(fn, in_specs, out_specs):
+    """Wrap ``fn`` in shard_map over the active mesh (identity on 1 device).
+
+    ``in_specs``/``out_specs`` name the 'data' axis for batch-leading args and
+    ``P()`` for replicated ones.  Weight gradients flow through the shard_map
+    transpose (replicated inputs psum their cotangents), so custom-VJP Pallas
+    kernels train under the mesh.  ``check_vma=False``: pallas_call outputs
+    carry no varying-mesh-axes metadata; correctness is covered by the
+    mesh-parity tests (tests/test_pallas_mesh.py).
+    """
+    mesh = active_mesh()
+    if mesh is None or mesh.devices.size == 1:
+        return fn
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
 
 
 def make_mesh(cfg: MeshConfig | None = None, devices=None,
@@ -56,8 +101,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Host numpy batch -> device arrays sharded over the 'data' axis."""
+    """Host numpy batch -> device arrays sharded over the 'data' axis.
+
+    Single process: a plain device_put.  Multi-host (jax.distributed): each
+    host holds only ITS grain shard's batch, so the global array is assembled
+    from per-process local data -- the global batch dim is
+    process_count * local batch (per-host batch semantics, matching the
+    reference's per-GPU batch size).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

@@ -17,7 +17,13 @@ import numpy as np
 from pytorch_asr_tpu.configs.base import ExperimentConfig
 from pytorch_asr_tpu.data import BucketedDataset, build_dataset, get_tokenizer
 from pytorch_asr_tpu.decoding.wer import corpus_cer, corpus_wer
-from pytorch_asr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from pytorch_asr_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    shard_params,
+    use_mesh,
+)
+from pytorch_asr_tpu.parallel.sharding import describe_shardings, shard_params_tp
 from pytorch_asr_tpu.training.checkpoint import CheckpointManager
 from pytorch_asr_tpu.training.metrics import MetricsLogger, Throughput
 from pytorch_asr_tpu.training.state import (
@@ -61,22 +67,53 @@ class Trainer:
             self.train_iter = build_grain_iterator(
                 cfg.data, cfg.frontend.sample_rate, shards, idx)
         self.mesh = make_mesh(cfg.mesh, batch_size=cfg.data.batch_size)
+        self.tensor_parallel = self.mesh.shape["model"] > 1
+        if self.tensor_parallel and getattr(cfg.model.encoder, "use_pallas", False):
+            # The fused Pallas LSTM kernel requires the full (D, 4H) weights
+            # per device; under tensor parallelism the gate dim is sharded, so
+            # the recurrence runs the lax.scan path, which GSPMD partitions.
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                cfg.model, encoder=dataclasses.replace(
+                    cfg.model.encoder, use_pallas=False)))
+            self.cfg = cfg
         self.model = build_model(cfg, self.tokenizer)
-        self.metrics = MetricsLogger(metrics_path, stdout=True,
-                                     tensorboard_dir=tensorboard_dir)
+        # Only the primary host writes metrics/TB (reference: rank-0 logging);
+        # orbax checkpoint saves stay collective (all processes participate).
+        from pytorch_asr_tpu.parallel import distributed
+
+        primary = distributed.is_primary()
+        self.metrics = MetricsLogger(metrics_path if primary else None,
+                                     stdout=primary,
+                                     tensorboard_dir=tensorboard_dir
+                                     if primary else None)
         self.throughput = Throughput(num_chips=self.mesh.devices.size)
         self._ckpt = (CheckpointManager(cfg, checkpoint_dir)
                       if enable_checkpoints else None)
 
         sample = next(iter(self.dataset.epoch_batches(seed=0)))
-        self.state: TrainState = init_train_state(cfg, self.model, sample)
+        with use_mesh(self.mesh):
+            self.state: TrainState = init_train_state(cfg, self.model, sample)
         if init_from_torch:
             self.state = self.state.replace(
                 params=self._import_torch(init_from_torch, self.state.params))
+        # Parameter placement: tensor-parallel layout (parallel/sharding.py
+        # RULES) when the mesh has a model axis, replication otherwise.  The
+        # optimizer state and EMA weights mirror the parameter layout -- their
+        # tree paths embed the parameter path, so the same rules apply.
+        if self.tensor_parallel:
+            place = lambda t: shard_params_tp(t, self.mesh)  # noqa: E731
+            self.metrics.log(
+                "mesh", layout=dict(self.mesh.shape),
+                sharded_params=sorted(
+                    describe_shardings(self.state.params, self.mesh)))
+        else:
+            place = lambda t: shard_params(self.mesh, t)  # noqa: E731
         self.state = self.state.replace(
-            params=shard_params(self.mesh, self.state.params),
-            opt_state=shard_params(self.mesh, self.state.opt_state),
-            ema_params=shard_params(self.mesh, self.state.ema_params)
+            params=place(self.state.params),
+            opt_state=place(self.state.opt_state),
+            ema_params=place(self.state.ema_params)
             if self.state.ema_params is not None else None,
         )
         if self._ckpt is not None and self._ckpt.latest_step() is not None:
@@ -106,7 +143,8 @@ class Trainer:
         for _ in range(num_steps):
             host_batch = next(it)
             batch = shard_batch(self.mesh, host_batch)
-            self.state, aux = self._train_step(self.state, batch)
+            with use_mesh(self.mesh):   # trace-time mesh for Pallas shard_map
+                self.state, aux = self._train_step(self.state, batch)
             self.throughput.update(float(host_batch["audio_len"].sum()) / sr)
             step = int(self.state.step)
             if step % cfg.train.log_every == 0 or step == 1:
@@ -161,8 +199,9 @@ class Trainer:
             return self.evaluate(max_batches=max_batches)
         from pytorch_asr_tpu.decoding.driver import decode_dataset
 
-        return decode_dataset(self, max_batches=max_batches,
-                              dump_path=dump_path)
+        with use_mesh(self.mesh):
+            return decode_dataset(self, max_batches=max_batches,
+                                  dump_path=dump_path)
 
     def evaluate(self, max_batches: int | None = None) -> dict:
         """Greedy-decode WER over the eval dataset."""
@@ -174,7 +213,8 @@ class Trainer:
             if max_batches is not None and i >= max_batches:
                 break
             batch = shard_batch(self.mesh, host_batch)
-            ids, n = self._eval_step(eval_params(self.state), batch)
+            with use_mesh(self.mesh):
+                ids, n = self._eval_step(eval_params(self.state), batch)
             ids, n = np.asarray(ids), np.asarray(n)
             valid = host_batch["audio_len"] > 0
             audio_sec += float(host_batch["audio_len"].sum()) / self.cfg.frontend.sample_rate
