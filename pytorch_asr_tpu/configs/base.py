@@ -176,6 +176,10 @@ class DecodeConfig:
     lm_path: str = ""
     lm_alpha: float = 0.5
     lm_beta: float = 1.0
+    # n-gram table backend: "dense" (V^(n-1) x V device table, small vocabs),
+    # "hashed" (open-addressing device hash tables, BPE/large vocabs), or
+    # "auto" (dense while V^order fits 64M floats, hashed beyond).
+    lm_backend: str = "auto"
     # attention/joint beam
     max_decode_len: int = 256
     length_norm: float = 1.0

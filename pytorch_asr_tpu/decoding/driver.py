@@ -21,41 +21,56 @@ from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
 from pytorch_asr_tpu.decoding.wer import corpus_cer, corpus_wer
 
 
-def _load_lm(cfg):
+def _load_lm(cfg, tokenizer=None):
     """Load the fusion LM named by cfg.decode.lm_path.
 
-    Returns (lm_table, rnn_lm, rnn_lm_params): ``.npz`` paths are RNN LMs
-    saved by training.lm.save_rnn_lm; anything else is parsed as ARPA and
-    tensorized to a dense device table.
+    Returns (lm_table, rnn_lm, rnn_lm_params, hash_lm): ``.npz`` paths are
+    RNN LMs saved by training.lm.save_rnn_lm; anything else is parsed as
+    ARPA and compiled either to a dense device table (small vocabs) or to
+    hashed backoff tables (BPE/large vocabs -- decoding/lm_hashed.py), per
+    cfg.decode.lm_backend.
     """
     path = cfg.decode.lm_path
     if not path:
-        return None, None, None
+        return None, None, None, None
     if path.endswith(".npz"):
         from pytorch_asr_tpu.training.lm import load_rnn_lm
 
         rnn_lm, rnn_params = load_rnn_lm(path)
-        return None, rnn_lm, rnn_params
-    from pytorch_asr_tpu import native
+        return None, rnn_lm, rnn_params, None
 
-    if native.available():
-        table, _order = native.arpa_dense_table(path)
-        return jnp.asarray(table), None, None
-    lm = read_arpa(path)
-    return jnp.asarray(tensorize(lm)), None, None
+    from pytorch_asr_tpu.data.tokenizer import CharTokenizer
+
+    tok = tokenizer or CharTokenizer()
+    backend = getattr(cfg.decode, "lm_backend", "auto")
+    lm = read_arpa(path, tok)
+    dense_floats = tok.vocab_size ** lm.order
+    if backend == "dense" or (backend == "auto"
+                              and dense_floats <= 64_000_000):
+        from pytorch_asr_tpu import native
+
+        if native.available() and isinstance(tok, CharTokenizer):
+            table, _ = native.arpa_dense_table(path)
+            return jnp.asarray(table), None, None, None
+        return jnp.asarray(tensorize(lm, tok)), None, None, None
+    from pytorch_asr_tpu.decoding.lm_hashed import build_hashed_lm
+
+    return None, None, None, build_hashed_lm(lm, tok.vocab_size)
 
 
 def _load_lm_table(cfg):
     return _load_lm(cfg)[0]
 
 
-def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None):
+def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None,
+                   hash_lm=None):
     """Builds a jitted (params, batch) -> (tokens, lengths) decode step."""
     cfg = trainer.cfg
     model = trainer.model
     method = cfg.decode.method
     tok = trainer.tokenizer
-    has_lm = lm_table is not None or rnn_lm is not None
+    has_lm = (lm_table is not None or rnn_lm is not None
+              or hash_lm is not None)
 
     if method == "prefix_beam":
         shard = (cfg.decode.shard_beams
@@ -77,7 +92,7 @@ def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None):
                     lm_beta=cfg.decode.lm_beta if has_lm else 0.0,
                     max_len=cfg.decode.max_decode_len,
                     rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
-                    sos_id=tok.sos_id)
+                    sos_id=tok.sos_id, hash_lm=hash_lm)
                 return toks, lens
 
             return decode_fn
@@ -94,7 +109,7 @@ def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None):
                 lm_beta=cfg.decode.lm_beta if has_lm else 0.0,
                 max_len=cfg.decode.max_decode_len,
                 rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
-                sos_id=tok.sos_id)
+                sos_id=tok.sos_id, hash_lm=hash_lm)
             return toks, lens
 
         return decode_fn
@@ -135,8 +150,9 @@ def decode_dataset(trainer, max_batches: int | None = None,
     ``python -m pytorch_asr_tpu.eval_wer <prefix>.ref.tsv <prefix>.hyp.tsv``.
     """
     cfg = trainer.cfg
-    lm_table, rnn_lm, rnn_lm_params = _load_lm(cfg)
-    decode_fn = make_decode_fn(trainer, lm_table, rnn_lm, rnn_lm_params)
+    lm_table, rnn_lm, rnn_lm_params, hash_lm = _load_lm(cfg, trainer.tokenizer)
+    decode_fn = make_decode_fn(trainer, lm_table, rnn_lm, rnn_lm_params,
+                               hash_lm)
     tok = trainer.tokenizer
     refs, hyps = [], []
     audio_sec = 0.0

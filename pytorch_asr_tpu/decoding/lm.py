@@ -222,6 +222,10 @@ def read_arpa(path: str, tokenizer: CharTokenizer | None = None) -> BackoffLM:
             return tok.blank_id
         if sym in ("<unk>", "<UNK>"):
             return None
+        # BPE tokenizers: ARPA symbols are whole pieces (id = index + 1).
+        piece_map = getattr(tok, "_piece_to_id", None)
+        if piece_map is not None:
+            return piece_map.get(sym)
         ch = " " if sym == "<space>" else sym
         ids = tok.encode(ch)
         return int(ids[0]) if len(ids) == 1 else None
@@ -274,6 +278,9 @@ def write_arpa(lm: BackoffLM, path: str,
             return "</s>"
         if i == tok.blank_id:
             return "<blank>"
+        pieces = getattr(tok, "pieces", None)
+        if pieces is not None and 1 <= i <= len(pieces):
+            return pieces[i - 1]
         ch = tok.decode([i])
         return "<space>" if ch == " " else ch
 

@@ -7,8 +7,9 @@ search' row -- the XL component; cf. FlexCTC, PAPERS.md).  Design:
     token buffers, (p_blank, p_nonblank) in log space, rolling prefix hash,
     LM context id, accumulated fusion score.  One ``lax.scan`` over time.
   * Each step forms K stay-candidates + K*(V-1) extension-candidates,
-    merges duplicate prefixes by rolling hash (sort + segment-logsumexp over
-    contiguous equal-hash runs), and keeps the top-K by fused score.
+    absorbs duplicate prefixes by rolling hash with an O(K^2) match matrix
+    (ext-ext duplicates are structurally impossible -- see _merge_topk), and
+    keeps the top-K by fused score.
   * LM fusion reads a dense device-resident table P(c|ctx) built by
     decoding.lm.tensorize -- no host round trips (SURVEY.md §2.2 KenLM row).
 
@@ -42,7 +43,10 @@ def _lse(a, b):
     return jnp.logaddexp(a, b)
 
 
-def _init_state(B: int, K: int, L: int) -> BeamState:
+def _init_state(B: int, K: int, L: int, ctx_width: int = 0) -> BeamState:
+    """ctx_width 0: dense rolled context id (B, K); >0: a token WINDOW
+    (B, K, ctx_width) of the last ids for hashed-LM fusion (0 = no history)."""
+    ctx_shape = (B, K) if ctx_width == 0 else (B, K, ctx_width)
     return BeamState(
         tokens=jnp.zeros((B, K, L), jnp.int32),
         length=jnp.zeros((B, K), jnp.int32),
@@ -50,31 +54,20 @@ def _init_state(B: int, K: int, L: int) -> BeamState:
         pnb=jnp.full((B, K), NEG_INF),
         lm_s=jnp.zeros((B, K), jnp.float32),
         hash=-(jnp.arange(K, dtype=jnp.int32) + 1)[None, :] * jnp.ones((B, 1), jnp.int32),
-        ctx=jnp.zeros((B, K), jnp.int32),
+        ctx=jnp.zeros(ctx_shape, jnp.int32),
         last=jnp.full((B, K), -1, jnp.int32),
     )
 
 
-def _segment_logsumexp_sorted(vals, seg_start):
-    """Log-sum-exp over contiguous equal-hash runs; result on every member.
-
-    vals (B, N) sorted by hash; seg_start (B, N) bool marks run heads.
-    O(N^2) one-hot matmul -- N ~ 500, negligible next to the model forward.
-    """
-    B, N = vals.shape
-    seg_id = jnp.cumsum(seg_start.astype(jnp.int32), axis=1) - 1     # (B, N)
-    same = seg_id[:, :, None] == seg_id[:, None, :]                  # (B, N, N)
-    m = jnp.max(jnp.where(same, vals[:, None, :], NEG_INF), axis=2)
-    m_safe = jnp.maximum(m, NEG_INF)
-    s = jnp.sum(jnp.where(same, jnp.exp(vals[:, None, :] - m_safe[:, :, None]), 0.0),
-                axis=2)
-    return jnp.maximum(m_safe + jnp.log(jnp.maximum(s, 1e-37)), NEG_INF)
-
-
 def _build_candidates(state: BeamState, logp_t, *, blank, vocab, lm_table,
                       lm_alpha, lm_beta, K, L, parent_offset: int = 0,
-                      lm_rows=None):
-    """Stay + extension candidates for K beams -> dict of (B, K + K*(V-1)).
+                      lm_rows=None, ctx_window: bool = False):
+    """Stay + extension candidates for K beams.
+
+    Returns (stay, ext): stay fields are (B, K) -- each beam continued
+    without appending; ext fields are (B, K, V-1) -- each beam extended by
+    each non-blank char.  The structure (rather than one flat concat) is what
+    lets the merge run in O(K^2) (see _merge_topk).
 
     ``lm_rows`` (B, K, V): per-beam log P(c | prefix) from a neural LM whose
     state is carried outside BeamState; when given it replaces the n-gram
@@ -104,7 +97,18 @@ def _build_candidates(state: BeamState, logp_t, *, blank, vocab, lm_table,
     if lm_rows is not None:
         lm_add = lm_alpha * lm_rows[..., 1:] + lm_beta
         ext_lm = state.lm_s[..., None] + lm_add
-        ext_ctx = jnp.broadcast_to(state.ctx[..., None], ext_pnb.shape)
+        if ctx_window:
+            # hashed-LM mode: the context is a token window (B, K, C); each
+            # extension shifts in its char -> (B, K, nb, C).
+            C = state.ctx.shape[-1]
+            base_ctx = jnp.broadcast_to(state.ctx[:, :, None, 1:],
+                                        (B, K, nb, C - 1)) if C > 1 else \
+                jnp.zeros((B, K, nb, 0), jnp.int32)
+            ext_ctx = jnp.concatenate(
+                [base_ctx, jnp.broadcast_to(chars[None, None, :, None],
+                                            (B, K, nb, 1))], axis=-1)
+        else:
+            ext_ctx = jnp.broadcast_to(state.ctx[..., None], ext_pnb.shape)
     elif lm_table is not None:
         lm_row = lm_table[state.ctx]                       # (B, K, V)
         lm_add = lm_alpha * lm_row[..., 1:] + lm_beta
@@ -116,47 +120,98 @@ def _build_candidates(state: BeamState, logp_t, *, blank, vocab, lm_table,
         ext_ctx = jnp.broadcast_to(state.ctx[..., None], ext_pnb.shape)
     ext_hash = state.hash[..., None] * HASH_MULT + chars[None, None, :]
 
-    # --- flatten to N = K + K*nb candidates --------------------------------
     pid = jnp.arange(K, dtype=jnp.int32) + parent_offset
-    cand = {
-        "pb": jnp.concatenate([stay_pb, jnp.full((B, K * nb), NEG_INF)], 1),
-        "pnb": jnp.concatenate([stay_pnb, ext_pnb.reshape(B, -1)], 1),
-        "lm": jnp.concatenate([state.lm_s, ext_lm.reshape(B, -1)], 1),
-        "hash": jnp.concatenate([state.hash, ext_hash.reshape(B, -1)], 1),
-        "ctx": jnp.concatenate([state.ctx, ext_ctx.reshape(B, -1)], 1),
-        "last": jnp.concatenate(
-            [state.last, jnp.broadcast_to(chars[None, None, :],
-                                          (B, K, nb)).reshape(B, -1)], 1),
-        "parent": jnp.concatenate(
-            [pid[None].repeat(B, 0),
-             pid[None, :, None].repeat(nb, 2).reshape(1, -1).repeat(B, 0)], 1),
-        "append": jnp.concatenate(
-            [jnp.full((B, K), -1, jnp.int32),
-             jnp.broadcast_to(chars[None, None, :], (B, K, nb)).reshape(B, -1)], 1),
+    chars_bc = jnp.broadcast_to(chars[None, None, :], (B, K, nb))
+    stay = {
+        "pb": stay_pb, "pnb": stay_pnb, "lm": state.lm_s, "hash": state.hash,
+        "ctx": state.ctx, "last": state.last,
+        "parent": jnp.broadcast_to(pid[None, :], (B, K)),
+        "append": jnp.full((B, K), -1, jnp.int32),
     }
-    return cand
+    ext = {
+        "pnb": ext_pnb, "lm": ext_lm, "hash": ext_hash, "ctx": ext_ctx,
+        "last": chars_bc,
+        "parent": jnp.broadcast_to(pid[None, :, None], (B, K, nb)),
+        "append": chars_bc,
+    }
+    return stay, ext
 
 
-def _merge_topk(cand: dict, K: int):
-    """Hash-merge duplicate prefixes, keep top-K.  Returns (score, fields)."""
-    order = jnp.argsort(cand["hash"], axis=1)
-    srt = {k: jnp.take_along_axis(v, order, axis=1) for k, v in cand.items()}
-    B = srt["hash"].shape[0]
-    prev = jnp.concatenate([jnp.full((B, 1), -2147483647, jnp.int32),
-                            srt["hash"][:, :-1]], 1)
-    head = srt["hash"] != prev                             # (B, N) run heads
-    mpb = _segment_logsumexp_sorted(srt["pb"], head)
-    mpnb = _segment_logsumexp_sorted(srt["pnb"], head)
-    score = _lse(mpb, mpnb) + srt["lm"]
-    score = jnp.where(head, score, NEG_INF)                # leaders only
+def _merge_topk(stay: dict, ext: dict, K: int):
+    """Absorb duplicate prefixes, keep top-K.  Returns (score, fields).
 
+    Two candidates denote the same prefix iff their rolling hashes match,
+    and live beams always have distinct hashes, so the only possible
+    duplicates are structured:
+
+      * stay-stay: impossible (dead beams carry no mass and are re-hashed
+        to sentinels on selection);
+      * ext-ext: ext(k, c) collides with ext(k', c') only if
+        (h_k - h_k') * HASH_MULT == c' - c (mod 2^32) -- for distinct parent
+        hashes that is a 32-bit hash collision, the same failure assumption
+        hash-equality merging always makes;
+      * ext(k, c) duplicates stay k' iff h_k' == h_k * HASH_MULT + c -- at
+        most Kc*Ks pairs, found by a (B, Kc, Ks) match matrix.
+
+    The previous implementation sorted all N = K(1+nb) candidates by hash
+    and ran an O(N^2) segment-logsumexp: measured 700 us PER SCAN STEP at
+    B=16 K=16 V=32 on v5e (XLA variadic sort + two (B, N, N) masked
+    reductions), 30x the cost of all remaining per-step work.  This O(K^2)
+    absorption computes the identical distribution.
+    """
+    B, Ks = stay["hash"].shape
+    nb = ext["pnb"].shape[2]
+    # Char by which parent k's prefix would extend to stay k''s prefix.
+    # int32 wraparound matches the rolling-hash update exactly.
+    cmat = stay["hash"][:, None, :] - HASH_MULT * stay["hash"][:, :, None]
+    alive = _lse(stay["pb"], stay["pnb"]) > NEG_INF / 2    # (B, Ks)
+    match = (cmat >= 1) & (cmat <= nb) & alive[:, None, :]  # (B, Kc, Ks)
+    em = jnp.take_along_axis(ext["pnb"], jnp.clip(cmat - 1, 0, nb - 1), axis=2)
+    em = jnp.where(match, em, NEG_INF)                     # (B, Kc, Ks)
+    m = jnp.max(em, axis=1)                                # (B, Ks)
+    add = jnp.where(
+        m > NEG_INF / 2,
+        m + jnp.log(jnp.sum(jnp.exp(em - jnp.maximum(m, NEG_INF)[:, None, :]),
+                            axis=1)),
+        NEG_INF)
+    stay_pnb = _lse(stay["pnb"], add)
+    # Absorbed exts must not be selected again (their mass now lives in the
+    # stay): scatter the match back onto the (k, c) grid.
+    hit = match[..., None] & (jax.nn.one_hot(
+        jnp.clip(cmat - 1, 0, nb - 1), nb, dtype=bool))    # (B, Kc, Ks, nb)
+    absorbed = jnp.any(hit, axis=2)                        # (B, Kc, nb)
+
+    stay_score = _lse(stay["pb"], stay_pnb) + stay["lm"]
+    ext_score = jnp.where(absorbed, NEG_INF, ext["pnb"] + ext["lm"])
+
+    def flat(s, e):
+        # stay (B, Ks, *rest) + ext (B, Kc, nb, *rest) -> (B, Ks + Kc*nb, *rest)
+        return jnp.concatenate(
+            [s, e.reshape((B, -1) + e.shape[3:])], axis=1)
+
+    score = flat(stay_score, ext_score)
     top_score, top_idx = jax.lax.top_k(score, K)           # (B, K)
-    take = lambda f: jnp.take_along_axis(srt[f], top_idx, axis=1)  # noqa: E731
+
+    def take(s, e):
+        arr = flat(s, e)
+        idx = top_idx.reshape((B, K) + (1,) * (arr.ndim - 2))
+        return jnp.take_along_axis(
+            arr, jnp.broadcast_to(idx, (B, K) + arr.shape[2:]), axis=1)
+    dead = top_score <= NEG_INF / 2
     fields = {
-        "pb": jnp.take_along_axis(mpb, top_idx, axis=1),
-        "pnb": jnp.take_along_axis(mpnb, top_idx, axis=1),
-        "lm": take("lm"), "hash": take("hash"), "ctx": take("ctx"),
-        "last": take("last"), "parent": take("parent"), "append": take("append"),
+        # Kill filler selections outright (beams with no surviving mass):
+        # a dead filler may share a live beam's hash, and keeping its merged
+        # fields would double-count that prefix on the next step.
+        "pb": jnp.where(dead, NEG_INF,
+                        take(stay["pb"], jnp.full(ext["pnb"].shape, NEG_INF))),
+        "pnb": jnp.where(dead, NEG_INF, take(stay_pnb, ext["pnb"])),
+        "lm": take(stay["lm"], ext["lm"]),
+        "hash": jnp.where(dead, -(jnp.arange(K, dtype=jnp.int32) + 1)[None, :],
+                          take(stay["hash"], ext["hash"])),
+        "ctx": take(stay["ctx"], ext["ctx"]),
+        "last": take(stay["last"], ext["last"]),
+        "parent": take(stay["parent"], ext["parent"]),
+        "append": take(stay["append"], ext["append"]),
     }
     return top_score, fields
 
@@ -191,13 +246,20 @@ def _gather_lm(carry: LMCarry, parent) -> LMCarry:
 
 def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
           lm_alpha, lm_beta, lm_order, K, L, rnn_lm=None, rnn_lm_params=None,
-          lm_carry: LMCarry | None = None):
+          lm_carry: LMCarry | None = None, hash_lm=None):
     B = logp_t.shape[0]
-    cand = _build_candidates(
+    lm_rows = lm_carry.logp if lm_carry is not None else None
+    if hash_lm is not None:
+        # Hashed backoff n-gram (large-vocab fusion): score rows are a pure
+        # function of the context window carried in state.ctx.
+        from pytorch_asr_tpu.decoding.lm_hashed import hashed_lm_logp_rows
+
+        lm_rows = hashed_lm_logp_rows(hash_lm, state.ctx)  # (B, K, V)
+    stay, ext = _build_candidates(
         state, logp_t, blank=blank, vocab=vocab, lm_table=lm_table,
         lm_alpha=lm_alpha, lm_beta=lm_beta, K=K, L=L,
-        lm_rows=lm_carry.logp if lm_carry is not None else None)
-    top_score, f = _merge_topk(cand, K)
+        lm_rows=lm_rows, ctx_window=hash_lm is not None)
+    top_score, f = _merge_topk(stay, ext, K)
     parent, append = f["parent"], f["append"]
     new_pb, new_pnb = f["pb"], f["pnb"]
 
@@ -260,17 +322,21 @@ def prefix_beam_search(
     rnn_lm=None,                 # CharRNNLM module (static) for neural fusion
     rnn_lm_params=None,
     sos_id: int = 29,
+    hash_lm=None,                # lm_hashed.HashedNgramLM for large vocabs
 ):
     """Returns (tokens (B, L), lengths (B,), scores (B,)) -- best beam per row.
 
     Fusion sources (mutually exclusive): ``lm_table`` — dense n-gram table
-    gathered by rolling context id; ``rnn_lm`` + ``rnn_lm_params`` — neural
-    char LM whose (h, c) state rides with each beam hypothesis on device.
+    gathered by rolling context id (small vocabs); ``hash_lm`` — hashed
+    backoff tables evaluated on device (BPE/large vocabs, lm_hashed.py);
+    ``rnn_lm`` + ``rnn_lm_params`` — neural char LM whose (h, c) state rides
+    with each beam hypothesis on device.
     """
     B, T, V = logits.shape
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     K, L = beam_size, max_len
-    state = _init_state(B, K, L)
+    state = _init_state(B, K, L,
+                        ctx_width=hash_lm.order - 1 if hash_lm is not None else 0)
     lm_carry = None
     if rnn_lm is not None:
         from pytorch_asr_tpu.models.lm_rnn import lm_step_logp
@@ -286,7 +352,8 @@ def prefix_beam_search(
                            logp=logp0.reshape(B, K, V))
     step = partial(_step, blank=blank, vocab=V, lm_table=lm_table,
                    lm_alpha=lm_alpha, lm_beta=lm_beta, lm_order=lm_order,
-                   K=K, L=L, rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params)
+                   K=K, L=L, rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
+                   hash_lm=hash_lm)
 
     def scan_fn(carry, inp):
         state, lm_carry = carry

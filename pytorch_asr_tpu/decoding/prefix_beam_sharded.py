@@ -58,6 +58,7 @@ def prefix_beam_search_sharded(
     rnn_lm=None,                 # CharRNNLM module for neural fusion
     rnn_lm_params=None,
     sos_id: int = 29,
+    hash_lm=None,                # lm_hashed.HashedNgramLM for large vocabs
 ):
     """Beam-sharded decode.  beam_size must divide the 'model' axis size.
 
@@ -73,11 +74,12 @@ def prefix_beam_search_sharded(
     kl = K // n_model
     use_rnn = rnn_lm is not None
 
-    def local_fn(logits, logit_len, lm_tab, lm_params):
+    def local_fn(logits, logit_len, lm_tab, lm_params, hash_tab):
         B, T, V = logits.shape
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         p = jax.lax.axis_index("model")
-        state = _init_state(B, K, L)     # replicated-view full state
+        ctx_width = hash_lm.order - 1 if hash_lm is not None else 0
+        state = _init_state(B, K, L, ctx_width)  # replicated-view full state
         if use_rnn:
             from pytorch_asr_tpu.models.lm_rnn import LMState, lm_step_logp
 
@@ -99,17 +101,27 @@ def prefix_beam_search_sharded(
             if use_rnn:
                 lm_rows = jax.lax.dynamic_slice_in_dim(
                     lm_carry[2], p * kl, kl, axis=1)
+            elif hash_tab is not None:
+                # hashed-LM rows for THIS shard's beams only: the (B, kl, V)
+                # table probes are the parallel work; candidates then gather.
+                from pytorch_asr_tpu.decoding.lm_hashed import (
+                    hashed_lm_logp_rows)
+
+                lm_rows = hashed_lm_logp_rows(hash_tab, local.ctx)
             else:
                 lm_rows = None
-            cand_local = _build_candidates(
+            stay_l, ext_l = _build_candidates(
                 local, logp_t, blank=blank, vocab=V, lm_table=lm_tab,
                 lm_alpha=lm_alpha, lm_beta=lm_beta, K=kl, L=L,
-                parent_offset=p * kl, lm_rows=lm_rows)
-            # ICI exchange: candidate summaries from every beam shard.
-            cand = jax.tree.map(
-                lambda x: jax.lax.all_gather(
-                    x, "model", axis=1, tiled=True), cand_local)
-            top_score, f = _merge_topk(cand, K)
+                parent_offset=p * kl, lm_rows=lm_rows,
+                ctx_window=hash_tab is not None)
+            # ICI exchange: candidate summaries from every beam shard --
+            # stays to (B, K), extensions to (B, K, V-1).
+            gather = lambda x: jax.lax.all_gather(  # noqa: E731
+                x, "model", axis=1, tiled=True)
+            stay = jax.tree.map(gather, stay_l)
+            ext = jax.tree.map(gather, ext_l)
+            top_score, f = _merge_topk(stay, ext, K)
             new_tokens, new_len = _apply_tokens(
                 state.tokens, state.length, f["parent"], f["append"], L)
             new_state = BeamState(
@@ -167,15 +179,20 @@ def prefix_beam_search_sharded(
 
     lm_spec = P() if lm_table is not None else None
     params_spec = jax.tree.map(lambda _: P(), rnn_lm_params) if use_rnn else None
-    in_specs = (P("data"), P("data"), lm_spec, params_spec)
+    hash_spec = (jax.tree.map(lambda _: P(), hash_lm)
+                 if hash_lm is not None else None)
+    in_specs = (P("data"), P("data"), lm_spec, params_spec, hash_spec)
     out_specs = (P("data"), P("data"), P("data"))
     fn = jax.shard_map(local_fn, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
-    if lm_table is None and not use_rnn:
-        fn2 = lambda lg, ll: fn(lg, ll, None, None)  # noqa: E731
-        return jax.jit(fn2)(logits, logit_len)
     if use_rnn:
-        fn2 = lambda lg, ll, pp: fn(lg, ll, None, pp)  # noqa: E731
+        fn2 = lambda lg, ll, pp: fn(lg, ll, None, pp, None)  # noqa: E731
         return jax.jit(fn2)(logits, logit_len, rnn_lm_params)
-    fn2 = lambda lg, ll, tab: fn(lg, ll, tab, None)  # noqa: E731
-    return jax.jit(fn2)(logits, logit_len, lm_table)
+    if hash_lm is not None:
+        fn2 = lambda lg, ll, ht: fn(lg, ll, None, None, ht)  # noqa: E731
+        return jax.jit(fn2)(logits, logit_len, hash_lm)
+    if lm_table is not None:
+        fn2 = lambda lg, ll, tab: fn(lg, ll, tab, None, None)  # noqa: E731
+        return jax.jit(fn2)(logits, logit_len, lm_table)
+    fn2 = lambda lg, ll: fn(lg, ll, None, None, None)  # noqa: E731
+    return jax.jit(fn2)(logits, logit_len)

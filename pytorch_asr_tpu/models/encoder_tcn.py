@@ -73,6 +73,25 @@ class TCNBlock(nn.Module):
     def __call__(self, x: jax.Array, lengths: jax.Array, train: bool) -> jax.Array:
         from pytorch_asr_tpu.ops.runtime import pallas_active, pallas_interpret
 
+        if self.use_pallas and train and pallas_active():
+            # Fused train-path kernel with custom VJP (ops/dilated_conv_pallas
+            # .py::tcn_block_train): computes the pre-residual block body so
+            # dropout + residual + masking compose outside, exactly like
+            # _xla_path.
+            from jax.sharding import PartitionSpec as P
+
+            from pytorch_asr_tpu.ops.dilated_conv_pallas import tcn_block_train
+            from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
+
+            dilation = self.dilation
+            fn = lambda x_, *w: tcn_block_train(x_, *w, dilation)  # noqa: E731
+            fn = maybe_data_shard_map(fn, in_specs=(P("data"),) + (P(),) * 6,
+                                      out_specs=P("data"))
+            y = fn(x.astype(jnp.float32), self.ln_scale, self.ln_bias,
+                   self.w_conv, self.b_conv, self.w_point, self.b_point)
+            if self.dropout > 0:
+                y = self.drop(y, deterministic=False)
+            return _mask_time(x + y.astype(x.dtype), lengths)
         if self.use_pallas and not train and pallas_active():
             from jax.sharding import PartitionSpec as P
 

@@ -1,0 +1,84 @@
+"""Measure the prefix-beam decode step on the real chip (VERDICT r1 item 4).
+
+Reports per-utterance-step wall time of the full scan and the implied RTF,
+plus a microbenchmark of the merge+top-K inner loop alone (the piece the
+north star names for a Pallas kernel), so the kernel-or-refute decision is
+grounded in a measurement.
+
+    JAX_PLATFORMS='' python scripts/bench_prefix_beam.py [B=16 T=1000 K=16]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    kv = dict(a.split("=", 1) for a in sys.argv[1:])
+    B = int(kv.get("B", 16))
+    T = int(kv.get("T", 1000))       # 10 s of audio at 100 fps
+    K = int(kv.get("K", 16))
+    V = int(kv.get("V", 32))
+    iters = int(kv.get("iters", 5))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorch_asr_tpu.decoding import prefix_beam as pb
+
+    print(f"backend: {jax.default_backend()} B={B} T={T} K={K} V={V}")
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.full((B,), T, jnp.int32)
+
+    # ---- full search --------------------------------------------------------
+    def run():
+        return pb.prefix_beam_search(logits, lens, beam_size=K)
+
+    toks, out_lens, scores = run()
+    np.asarray(toks)  # warm; host fetch forces real completion (the axon
+    # tunnel's block_until_ready returns before remote execution finishes)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(run()[0])
+    dt = (time.perf_counter() - t0) / iters
+    frames_per_s = 100.0
+    audio_s = B * T / frames_per_s
+    print(f"full search: {dt*1e3:.2f} ms  per-step {dt/T*1e6:.1f} us  "
+          f"RTF {dt/audio_s:.6f}  (batch RTF over {audio_s:.0f} audio-s)")
+
+    # ---- merge+topk alone (scan over the same candidate work) --------------
+    state = pb._init_state(B, K, 256)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+
+    @jax.jit
+    def merge_only(logp):
+        def scan_fn(state, logp_t):
+            stay, ext = pb._build_candidates(
+                state, logp_t, blank=0, vocab=V, lm_table=None, lm_alpha=0.0,
+                lm_beta=0.0, K=K, L=256)
+            top_score, f = pb._merge_topk(stay, ext, K)
+            new_state = pb.BeamState(
+                tokens=state.tokens, length=state.length, pb=f["pb"],
+                pnb=f["pnb"], lm_s=f["lm"], hash=f["hash"], ctx=f["ctx"],
+                last=f["last"])
+            return new_state, None
+        out, _ = jax.lax.scan(scan_fn, state, jnp.swapaxes(logp, 0, 1))
+        return out.pb
+
+    np.asarray(merge_only(logp))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(merge_only(logp))
+    dm = (time.perf_counter() - t0) / iters
+    print(f"cand+merge+topk scan (no token rebuild): {dm*1e3:.2f} ms  "
+          f"per-step {dm/T*1e6:.1f} us")
+
+
+if __name__ == "__main__":
+    main()

@@ -198,6 +198,50 @@ def build_cases() -> list[Case]:
         tcn_flops, tcn_bytes, BF16_PEAK,
         f"B={Bt} T={Tt} C={C} K={K} d=2"))
 
+    # ---- TCN residual block fwd+bwd (training path, custom VJP) -----------
+    from pytorch_asr_tpu.ops.dilated_conv_pallas import tcn_block_train
+
+    def tcn_train(xx):
+        def loss(xi, s, b, wc, bc, wp, bp):
+            return tcn_block_train(xi, s, b, wc, bc, wp, bp, 2).sum()
+        return jax.grad(loss, argnums=(0, 3, 5))(
+            xx, ln_s, ln_b, w_conv, b_conv, w_point, b_point)
+
+    # fwd matmuls + bwd recompute (conv) + dacc/dxn/dW matmuls ~= 3.3x fwd
+    tcn_t_flops = 3.3 * tcn_flops
+    # x r/w + xn residual w/r + dy r + dxn slabs w/r + dx w (all f32)
+    tcn_t_bytes = 7 * Bt * T_pad * C * 4 + 2 * (K * C * 2 * C + C * C) * 4
+    cases.append(Case(
+        "tcn block fwd+bwd", lambda: (tcn_train, (xt,)),
+        tcn_t_flops, tcn_t_bytes, BF16_PEAK,
+        "train path, custom VJP (xn residual, GLU recompute)"))
+
+    # ---- CTC prefix beam search (decode inner loop) ------------------------
+    # The per-step work is the O(K^2) hash-absorb merge + top_k over
+    # K*V candidates (decoding/prefix_beam.py); the bound is the one-time
+    # logp read plus per-step beam-state update traffic, NOT flops -- this
+    # row tracks how far the scan step is from that memory bound.
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+
+    Bb, Tb_, Vb, Kb, Lb = 16, 250, 32, 16, 256
+    blogits = jnp.asarray(
+        rng.standard_normal((Bb, Tb_, Vb)).astype(np.float32))
+    blens = jnp.full((Bb,), Tb_, jnp.int32)
+
+    def beam(lg):
+        toks, lens_, scores = prefix_beam_search(lg, blens, beam_size=Kb,
+                                                 max_len=Lb)
+        return scores
+
+    # state carried per step: tokens (B,K,L) + ~6 (B,K) fields, r+w each step
+    state_bytes = Bb * Kb * (Lb + 8) * 4
+    beam_bytes = Bb * Tb_ * Vb * 4 + 2 * Tb_ * state_bytes
+    beam_flops = Tb_ * (2.0 * Bb * Kb * Kb * (Vb - 1) + 4.0 * Bb * Kb * Vb)
+    cases.append(Case(
+        "prefix beam search", lambda: (beam, (blogits,)),
+        beam_flops, beam_bytes, FP32_PEAK,
+        f"B={Bb} T={Tb_} K={Kb} V={Vb}; latency-bound scan"))
+
     return cases
 
 

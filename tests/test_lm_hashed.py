@@ -1,0 +1,161 @@
+"""Hashed n-gram LM fusion for large vocabularies (SURVEY.md:145; VERDICT r1
+item 5).
+
+The dense V^(n-1) x V table cannot exist for BPE vocabs; these tests pin the
+hashed-backoff replacement:
+  * device ``hashed_lm_logp_rows`` == host ``BackoffLM.score`` exactly
+    (f32), including short-history contexts and unseen n-grams;
+  * prefix beam fusion with ``hash_lm`` == fusion with the dense table on
+    the char vocab (identical LM -> identical outputs);
+  * prefix beam fusion with a BPE vocab matches the host oracle;
+  * the beam-sharded variant matches the unsharded one with hash_lm.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_asr_tpu.data.bpe import train_bpe
+from pytorch_asr_tpu.data.tokenizer import CharTokenizer
+from pytorch_asr_tpu.decoding.lm import (
+    read_arpa,
+    tensorize,
+    train_char_ngram,
+    train_char_ngram_kn,
+    write_arpa,
+)
+from pytorch_asr_tpu.decoding.lm_hashed import (
+    build_hashed_lm,
+    hashed_lm_logp_rows,
+)
+from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+from pytorch_asr_tpu.decoding.prefix_beam_ref import prefix_beam_search_ref
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "speech models learn tones and beams decode them",
+    "hello world the model trains and the beam searches",
+    "kernels run on device and the search stays on device",
+] * 4
+
+
+@pytest.fixture(scope="module")
+def bpe_tok():
+    return train_bpe(TEXTS, num_merges=80)
+
+
+def _ctx_batch(rng, vocab, order, n):
+    """(n, order-1) contexts incl. empty/short histories (leading zeros)."""
+    C = order - 1
+    ctx = rng.integers(1, vocab, size=(n, C)).astype(np.int32)
+    hist = rng.integers(0, C + 1, size=n)  # true history length
+    for i in range(n):
+        ctx[i, : C - hist[i]] = 0
+    return ctx
+
+
+@pytest.mark.parametrize("order", [2, 3, 4])
+def test_rows_match_host_scores_char(order):
+    lm = train_char_ngram_kn(TEXTS, order=order)
+    tok = CharTokenizer()
+    hl = build_hashed_lm(lm, tok.vocab_size)
+    rng = np.random.default_rng(0)
+    ctx = _ctx_batch(rng, tok.vocab_size, order, 64)
+    rows = np.asarray(hashed_lm_logp_rows(hl, jnp.asarray(ctx)))
+    for i in range(ctx.shape[0]):
+        true_ctx = tuple(int(x) for x in ctx[i] if x != 0)
+        for c in range(tok.vocab_size):
+            want = lm.score(true_ctx, c)
+            np.testing.assert_allclose(rows[i, c], want, rtol=1e-5,
+                                       err_msg=f"ctx={true_ctx} c={c}")
+
+
+def test_rows_match_host_scores_bpe(bpe_tok):
+    lm = train_char_ngram(TEXTS, order=3, tokenizer=bpe_tok)
+    hl = build_hashed_lm(lm, bpe_tok.vocab_size)
+    rng = np.random.default_rng(1)
+    ctx = _ctx_batch(rng, bpe_tok.vocab_size, 3, 48)
+    rows = np.asarray(hashed_lm_logp_rows(hl, jnp.asarray(ctx)))
+    for i in range(ctx.shape[0]):
+        true_ctx = tuple(int(x) for x in ctx[i] if x != 0)
+        for c in range(bpe_tok.vocab_size):
+            np.testing.assert_allclose(rows[i, c], lm.score(true_ctx, c),
+                                       rtol=1e-5)
+
+
+def test_hashed_matches_dense_beam_char():
+    tok = CharTokenizer()
+    lm = train_char_ngram_kn(TEXTS, order=3)
+    table = jnp.asarray(tensorize(lm, tok))
+    hl = build_hashed_lm(lm, tok.vocab_size)
+    rng = np.random.default_rng(2)
+    B, T, V = 3, 30, tok.vocab_size
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 5, T - 9], np.int32)
+    td, ld, sd = prefix_beam_search(logits, lens, beam_size=8, lm_table=table,
+                                    lm_alpha=0.5, lm_beta=0.4, max_len=T + 1)
+    th, lh, sh = prefix_beam_search(logits, lens, beam_size=8, hash_lm=hl,
+                                    lm_alpha=0.5, lm_beta=0.4, max_len=T + 1)
+    np.testing.assert_array_equal(np.asarray(ld), np.asarray(lh))
+    for b in range(B):
+        n = int(ld[b])
+        np.testing.assert_array_equal(np.asarray(td)[b, :n],
+                                      np.asarray(th)[b, :n])
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(sh), rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bpe_beam_matches_host_oracle(bpe_tok, seed):
+    lm = train_char_ngram(TEXTS, order=3, tokenizer=bpe_tok)
+    hl = build_hashed_lm(lm, bpe_tok.vocab_size)
+    rng = np.random.default_rng(seed)
+    T, V = 20, bpe_tok.vocab_size
+    logp = np.log(rng.dirichlet(np.ones(V) * 0.5, size=T).astype(np.float32))
+    ref = prefix_beam_search_ref(logp, T, beam_size=8, lm=lm,
+                                 lm_alpha=0.6, lm_beta=0.3)
+    toks, lens, _ = prefix_beam_search(
+        jnp.asarray(logp[None]), jnp.asarray([T]), beam_size=8, hash_lm=hl,
+        lm_alpha=0.6, lm_beta=0.3, max_len=T + 1)
+    got = list(np.asarray(toks)[0, : int(lens[0])])
+    assert got == ref
+
+
+def test_sharded_hash_lm_matches_unsharded(bpe_tok):
+    from pytorch_asr_tpu.configs.base import MeshConfig
+    from pytorch_asr_tpu.decoding.prefix_beam_sharded import (
+        prefix_beam_search_sharded)
+    from pytorch_asr_tpu.parallel.mesh import make_mesh
+
+    lm = train_char_ngram(TEXTS, order=3, tokenizer=bpe_tok)
+    hl = build_hashed_lm(lm, bpe_tok.vocab_size)
+    rng = np.random.default_rng(3)
+    B, T, V = 4, 16, bpe_tok.vocab_size
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.full((B,), T, np.int32)
+    mesh = make_mesh(MeshConfig(model_axis=2))
+    t1, l1, s1 = prefix_beam_search(logits, lens, beam_size=8, hash_lm=hl,
+                                    lm_alpha=0.5, lm_beta=0.2, max_len=T + 1)
+    t2, l2, s2 = prefix_beam_search_sharded(
+        logits, lens, mesh, beam_size=8, hash_lm=hl,
+        lm_alpha=0.5, lm_beta=0.2, max_len=T + 1)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+    for b in range(B):
+        n = int(l1[b])
+        np.testing.assert_array_equal(np.asarray(t1)[b, :n],
+                                      np.asarray(t2)[b, :n])
+
+
+def test_arpa_roundtrip_bpe(bpe_tok, tmp_path):
+    """write_arpa/read_arpa preserve BPE-piece n-grams (driver wiring)."""
+    lm = train_char_ngram(TEXTS, order=2, tokenizer=bpe_tok)
+    path = str(tmp_path / "bpe.arpa")
+    write_arpa(lm, path, bpe_tok)
+    lm2 = read_arpa(path, bpe_tok)
+    for ng, lp in list(lm.logprobs.items())[:200]:
+        if any(i in (bpe_tok.sos_id, bpe_tok.eos_id) for i in ng):
+            continue
+        assert ng in lm2.logprobs, ng
+        np.testing.assert_allclose(lm2.logprobs[ng], lp, atol=2e-5)
