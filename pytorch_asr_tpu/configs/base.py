@@ -33,6 +33,7 @@ class FrontendConfig:
     sa_freq_width: int = 27
     sa_time_masks: int = 2
     sa_time_fraction: float = 0.05
+    sa_time_warp: int = 0          # Park et al. W (frames); 0 = no time warp
     # On-device waveform augmentation (train-time; frontend/augment.py).
     # The reference genre does these on host via sox; here they run inside
     # the jitted step on the raw waveform.

@@ -116,7 +116,8 @@ class ASRModel(nn.Module):
                 num_freq_masks=self.frontend_cfg.sa_freq_masks,
                 freq_mask_width=self.frontend_cfg.sa_freq_width,
                 num_time_masks=self.frontend_cfg.sa_time_masks,
-                time_mask_fraction=self.frontend_cfg.sa_time_fraction)
+                time_mask_fraction=self.frontend_cfg.sa_time_fraction,
+                time_warp=getattr(self.frontend_cfg, "sa_time_warp", 0))
             feats = spec_augment(self.make_rng("dropout"), feats, feat_len, sa_cfg)
         enc, enc_len = self.encoder(feats, feat_len, train)
         return enc, enc_len

@@ -82,9 +82,11 @@ def _chunk_lattice(logp_chunk, onehot, valid_s, tc):
     HIGHEST precision: one-hot rows are exact, so this equals the gather
     logp[b, t, ext[b, s]] bit-for-bit.  Invalid lattice states -> NEG_INF.
     """
+    lp = jnp.swapaxes(logp_chunk, 0, 1)                # (B, tc, V)
+    # Mosaic batched matmul needs batch dims at the SAME position (0, 0).
     lat = jax.lax.dot_general(
-        logp_chunk, onehot,
-        dimension_numbers=(((2,), (2,)), ((1,), (0,))),
+        lp, onehot,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)            # (B, tc, S)
     return jnp.where(valid_s[:, None, :], lat, NEG_INF)
