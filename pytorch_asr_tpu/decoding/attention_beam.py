@@ -105,6 +105,7 @@ def attention_beam_search(
     lm_order: int = 3,
     rnn_lm: Any = None,          # CharRNNLM for neural shallow fusion
     rnn_lm_params: Any = None,
+    hash_lm: Any = None,         # lm_hashed.HashedNgramLM (large vocabs)
     coverage_beta: float = 0.0,
     coverage_tau: float = 0.5,
 ):
@@ -145,6 +146,9 @@ def attention_beam_search(
     if lm_table is not None:
         lm_ctx = jnp.zeros((B, K), jnp.int32)
         n_ctx = lm_table.shape[0]
+    elif hash_lm is not None:
+        # hashed backoff LM: carry a token WINDOW per beam (any vocab size)
+        lm_ctx = jnp.zeros((B, K, hash_lm.order - 1), jnp.int32)
     else:
         lm_ctx = None
     if rnn_lm is not None:
@@ -181,6 +185,10 @@ def attention_beam_search(
             cand = cand + ctc_weight * delta
         if lm_table is not None:
             cand = cand + lm_alpha * lm_table[lm_ctx]
+        elif hash_lm is not None:
+            from pytorch_asr_tpu.decoding.lm_hashed import hashed_lm_logp_rows
+
+            cand = cand + lm_alpha * hashed_lm_logp_rows(hash_lm, lm_ctx)
         if lm_rnn is not None:
             cand = cand + lm_alpha * lm_rnn[2]
         # never emit blank or sos
@@ -243,6 +251,12 @@ def attention_beam_search(
             g_ctx = _gather_beam(lm_ctx, parent)
             new_lm_ctx = jnp.where(emit, (g_ctx * model.vocab_size + char) % n_ctx,
                                    g_ctx)
+        elif hash_lm is not None:
+            from pytorch_asr_tpu.decoding.lm_hashed import roll_context_window
+
+            g_ctx = _gather_beam(lm_ctx, parent)
+            new_lm_ctx = jnp.where(emit[..., None],
+                                   roll_context_window(g_ctx, char), g_ctx)
         else:
             new_lm_ctx = None
         if lm_rnn is not None:

@@ -132,6 +132,7 @@ def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None,
                 lm_table=lm_table,
                 lm_alpha=cfg.decode.lm_alpha if has_lm else 0.0,
                 rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
+                hash_lm=hash_lm,
                 coverage_beta=cfg.decode.coverage_beta,
                 coverage_tau=cfg.decode.coverage_tau)
             return toks, lens

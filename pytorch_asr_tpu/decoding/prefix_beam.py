@@ -308,7 +308,8 @@ def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
 
 
 @partial(jax.jit, static_argnames=("beam_size", "blank", "lm_alpha", "lm_beta",
-                                   "lm_order", "max_len", "rnn_lm", "sos_id"))
+                                   "lm_order", "max_len", "rnn_lm", "sos_id",
+                                   "use_fused"))
 def prefix_beam_search(
     logits: jax.Array,           # (B, T, V)
     logit_len: jax.Array,        # (B,)
@@ -323,6 +324,8 @@ def prefix_beam_search(
     rnn_lm_params=None,
     sos_id: int = 29,
     hash_lm=None,                # lm_hashed.HashedNgramLM for large vocabs
+    use_fused: bool | None = None,   # None: auto (fused kernel when no LM
+                                     # and Pallas is active); False: XLA scan
 ):
     """Returns (tokens (B, L), lengths (B,), scores (B,)) -- best beam per row.
 
@@ -333,6 +336,23 @@ def prefix_beam_search(
     with each beam hypothesis on device.
     """
     B, T, V = logits.shape
+    if use_fused and lm_table is None and rnn_lm is None and hash_lm is None:
+        # Opt-in single-program Pallas decode (ops/beam_pallas.py): exact
+        # (bit-identical scores on v5e) but NOT the default -- measured
+        # 64 ms/frame vs this scan's 176 us at B=16 K=16 V=32: Mosaic
+        # scalarizes the beam's many small (B, K)-shaped batched ops, while
+        # XLA fuses them well.  Kept as the parity-tested foundation for a
+        # future lane-parallel layout; see IMPLEMENTATION.md roofline notes.
+        from jax.sharding import PartitionSpec as P
+
+        from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused
+        from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
+
+        fn = lambda lg, ln: prefix_beam_fused(  # noqa: E731
+            lg, ln, beam_size, blank, max_len)
+        fn = maybe_data_shard_map(fn, in_specs=(P("data"), P("data")),
+                                  out_specs=(P("data"),) * 3)
+        return fn(logits, logit_len)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     K, L = beam_size, max_len
     state = _init_state(B, K, L,

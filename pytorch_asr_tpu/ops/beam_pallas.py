@@ -1,0 +1,289 @@
+"""Fully-fused Pallas CTC prefix beam search (BASELINE north star: "batched
+prefix beam search ... with Pallas kernels for the prefix-beam-search inner
+loops").
+
+This kernel runs the ENTIRE decode as ONE Pallas program: all beam state
+(token buffers included) lives in VMEM scratch for the whole utterance
+batch, the grid streams (tc, B, V) log-prob chunks from HBM, and each
+frame's candidate-build / hash-absorb merge / top-K / token-append runs
+inside the kernel with zero HBM round-trips.
+
+Algorithm: identical to decoding/prefix_beam.py (parity tests compare
+token-for-token against it, and transitively against the host oracle) --
+stay/extension candidates, O(K^2) hash-absorption of duplicate prefixes,
+top-K with dead-filler kill.  Gathers are one-hot contractions (values) and
+masked sums (int32 fields -- hashes don't fit f32); top-K is K rounds of
+paired argmax over the structured (stay, ext) candidates (a (B, K, V) ->
+(B, K*V) flatten is an unsupported Mosaic shape cast).
+
+STATUS -- exact but not the production path.  On v5e the kernel compiles and
+matches the XLA beam bit-for-bit (max score diff 0.0 at B=16 K=16 V=32
+T=1000), but runs ~64 ms/frame vs the XLA scan's 176 us: the beam state is
+(B, K) = 16x16 shaped, so every one of the ~50 ops per frame occupies 1/64
+of the VPU and Mosaic scalarizes the small batched contractions that XLA
+fuses into a handful of wide kernels.  A speed-of-light fused beam needs a
+lane-parallel state layout (candidates spread across the 8x128 VPU lanes,
+one frame per sublane group) -- kept as future work; this kernel is the
+parity-tested foundation and is reachable via
+``prefix_beam_search(..., use_fused=True)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_asr_tpu.ops.runtime import pallas_interpret
+
+NEG_INF = -1.0e30
+HASH_MULT = 1000003
+TIME_CHUNK = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _onehot_rows(idx, n):
+    """(..., ) int32 -> (..., n) f32 one-hot (2-D+ iota; TPU-safe)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (n,), idx.ndim)
+    return (lanes == idx[..., None]).astype(jnp.float32)
+
+
+def _beam_kernel(logp_ref, len_ref,
+                 tokens_out, len_out, score_out,
+                 tokens_sc, length_sc, pb_sc, pnb_sc, hash_sc, last_sc,
+                 *, tc: int, K: int, V: int, L: int, T: int, blank: int):
+    ic = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+    B = len_ref.shape[0]
+    nb = V - 1
+    # Extension candidates are V-wide (char 0 = blank permanently NEG_INF):
+    # Mosaic cannot lane-slice logp at offset 1, and a dead slot preserves
+    # the stay-then-ext candidate ordering (tie-breaking parity with XLA).
+    N = K + K * V
+    kf = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+
+    @pl.when(ic == 0)
+    def _():
+        tokens_sc[:] = jnp.zeros((B, K, L), jnp.int32)
+        length_sc[:] = jnp.zeros((B, K), jnp.int32)
+        pb_sc[:] = jnp.where(kf == 0, 0.0, NEG_INF)
+        pnb_sc[:] = jnp.full((B, K), NEG_INF)
+        hash_sc[:] = -(kf + 1)
+        last_sc[:] = jnp.full((B, K), -1, jnp.int32)
+
+    lens = len_ref[:]                            # (B, 1)
+
+    for j in range(tc):
+        t = ic * tc + j
+        logp_t = logp_ref[j]                     # (B, V)
+        pb, pnb = pb_sc[:], pnb_sc[:]
+        hsh, last = hash_sc[:], last_sc[:]
+        length = length_sc[:]
+        total = jnp.logaddexp(pb, pnb)           # (B, K)
+
+        # ---- stay candidates ------------------------------------------------
+        lp_blank = logp_t[:, blank][:, None]     # (B, 1)
+        oh_last = _onehot_rows(jnp.maximum(last, 0), V)       # (B, K, V)
+        lp_last = jax.lax.dot_general(
+            oh_last, logp_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)               # (B, K)
+        stay_pb = total + lp_blank
+        stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
+
+        # ---- extension candidates (B, K, V); char 0 (blank) masked dead -----
+        chars = jax.lax.broadcasted_iota(jnp.int32, (B, K, V), 2)
+        lp_c = logp_t[:, None, :]
+        is_rep = chars == last[..., None]
+        base = jnp.where(is_rep, pb[..., None], total[..., None])
+        ext_pnb = base + lp_c
+        # (bool[..., None] reshapes are unsupported in Mosaic: compare at rank)
+        ext_pnb = jnp.where(length[..., None] >= L, NEG_INF, ext_pnb)
+        ext_pnb = jnp.where(chars == blank, NEG_INF, ext_pnb)
+
+        # ---- O(K^2) hash absorption (prefix_beam._merge_topk) ---------------
+        cmat = hsh[:, None, :] - HASH_MULT * hsh[:, :, None]  # (B, Kc, Ks)
+        alive = jnp.logaddexp(stay_pb, stay_pnb) > NEG_INF / 2
+        match = (cmat >= 1) & (cmat <= nb) & alive[:, None, :]
+        oh_c = _onehot_rows(jnp.clip(cmat, 0, V - 1), V)      # (B,Kc,Ks,V)
+        # em[b,k,k'] = ext_pnb[b,k,cmat] via one-hot contraction over V
+        em = jax.lax.dot_general(
+            oh_c.reshape(B * K, K, V), ext_pnb.reshape(B * K, V),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).reshape(B, K, K)
+        em = jnp.where(match, em, NEG_INF)
+        m = jnp.max(em, axis=1)                               # (B, Ks)
+        add = jnp.where(
+            m > NEG_INF / 2,
+            m + jnp.log(jnp.sum(jnp.exp(em - jnp.maximum(m, NEG_INF)[:, None, :]),
+                                axis=1)),
+            NEG_INF)
+        stay_pnb_m = jnp.logaddexp(stay_pnb, add)
+        absorbed = jnp.sum(oh_c * match.astype(jnp.float32)[..., None],
+                           axis=2) > 0.5                      # (B, Kc, V)
+
+        stay_score = jnp.logaddexp(stay_pb, stay_pnb_m)
+        ext_score = jnp.where(absorbed, NEG_INF, ext_pnb)
+
+        # ---- top-K over (stays (B, K), exts (B, K, V)) ----------------------
+        # No flattening: a (B, K, V) -> (B, K*V) reshape is an unsupported
+        # Mosaic shape cast.  K rounds of paired argmax, selecting stays on
+        # ties (stays precede exts in the canonical flat order, so this
+        # reproduces lax.top_k tie-breaking of the XLA beam exactly).
+        flat3 = kf[..., None] * V + chars                         # (B, K, V)
+        work_s = stay_score
+        work_e = ext_score
+        sel_par, sel_app, sel_sc, sel_st = [], [], [], []
+        for _ in range(K):
+            bs = jnp.max(work_s, axis=1)                          # (B,)
+            be = jnp.max(jnp.max(work_e, axis=2), axis=1)         # (B,)
+            ts = jnp.where(bs >= be, 1, 0)                        # i32 (B,)
+            s_idx = jnp.min(jnp.where(work_s == bs[:, None], kf, K), axis=1)
+            e_flat = jnp.min(jnp.min(
+                jnp.where(work_e == be[:, None, None], flat3, K * V),
+                axis=2), axis=1)                                  # (B,)
+            par = jnp.where(ts == 1, s_idx, e_flat // V)
+            app = jnp.where(ts == 1, -1, e_flat % V)
+            sel_par.append(par[:, None])
+            sel_app.append(app[:, None])
+            sel_sc.append(jnp.maximum(bs, be)[:, None])
+            sel_st.append(ts[:, None])
+            work_s = jnp.where((kf == s_idx[:, None]) & (ts[:, None] == 1),
+                               NEG_INF, work_s)
+            work_e = jnp.where((flat3 == e_flat[:, None, None])
+                               & (ts[:, None, None] == 0), NEG_INF, work_e)
+        parent = jnp.concatenate(sel_par, axis=1)                 # (B, K)
+        append = jnp.concatenate(sel_app, axis=1)
+        top_score = jnp.concatenate(sel_sc, axis=1)
+        is_stay = jnp.concatenate(sel_st, axis=1) == 1
+        dead = top_score <= NEG_INF / 2
+
+        # ---- gather fields by parent ----------------------------------------
+        ohp = _onehot_rows(parent, K)                             # (B, K, K)
+
+        def by_parent_f32(x):                                     # (B, K) f32
+            return jax.lax.dot_general(
+                ohp, x, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        def by_parent_i32(x):                                     # (B, K) i32
+            return jnp.sum(jnp.where(ohp > 0.5, x[:, None, :], 0), axis=2)
+
+        g_pb = by_parent_f32(stay_pb)
+        g_pnb_stay = by_parent_f32(stay_pnb_m)
+        # ext pnb of the selected char: ext_pnb[b, parent, append-1]
+        oh_a = _onehot_rows(jnp.clip(append, 0, V - 1), V)        # (B, K, V)
+        g_ext_all = jax.lax.dot_general(                          # (B, K, V)
+            ohp, ext_pnb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        g_pnb_ext = jnp.sum(g_ext_all * oh_a, axis=2)
+        new_pb = jnp.where(dead, NEG_INF, jnp.where(is_stay, g_pb, NEG_INF))
+        new_pnb = jnp.where(dead, NEG_INF,
+                            jnp.where(is_stay, g_pnb_stay, g_pnb_ext))
+        g_hash = by_parent_i32(hsh)
+        g_last = by_parent_i32(last)
+        g_len = by_parent_i32(length)
+        new_hash = jnp.where(dead, -(kf + 1),
+                             jnp.where(is_stay, g_hash,
+                                       g_hash * HASH_MULT + append))
+        new_last = jnp.where(is_stay, g_last, append)
+        new_len = g_len + jnp.where(is_stay, 0, 1)
+
+        # ---- token buffers: parent gather (one-hot MXU matmul; token ids
+        # < V << 2^24 so f32 is exact) + append write --------------------------
+        toks = tokens_sc[:]                                       # (B, K, L)
+        g_toks_f = jax.lax.dot_general(
+            ohp, toks.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)                   # (B, K, L)
+        g_toks = jnp.round(g_toks_f).astype(jnp.int32)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, K, L), 2)
+        ext_i = jnp.where(is_stay, 0, 1)[..., None]           # i32, rank-3 born
+        wr = (pos == g_len[..., None]) & (ext_i == 1)
+        new_toks = jnp.where(wr, append[..., None], g_toks)
+
+        # ---- freeze rows past their length -----------------------------------
+        act = (t < lens)                                          # (B, 1)
+        act3 = lens[..., None] > t                                # (B, 1, 1)
+        tokens_sc[:] = jnp.where(act3, new_toks, toks)
+        length_sc[:] = jnp.where(act, new_len, length)
+        pb_sc[:] = jnp.where(act, new_pb, pb)
+        pnb_sc[:] = jnp.where(act, new_pnb, pnb)
+        hash_sc[:] = jnp.where(act, new_hash, hsh)
+        last_sc[:] = jnp.where(act, new_last, last)
+
+    @pl.when(ic == n_chunks - 1)
+    def _():
+        final = jnp.logaddexp(pb_sc[:], pnb_sc[:])                # (B, K)
+        best = jnp.max(final, axis=1, keepdims=True)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+        bidx = jnp.min(jnp.where(final == best, kk, K), axis=1)   # (B,)
+        ohb = _onehot_rows(bidx, K)                               # (B, K)
+        sel = jax.lax.dot_general(
+            ohb[:, None, :], tokens_sc[:].astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)[:, 0, :]          # (B, L)
+        tokens_out[:] = jnp.round(sel).astype(jnp.int32)
+        len_out[:] = jnp.sum(jnp.where(ohb > 0.5, length_sc[:], 0),
+                             axis=1, keepdims=True)
+        score_out[:] = best
+
+
+def prefix_beam_fused(logits, logit_len, beam_size: int = 16, blank: int = 0,
+                      max_len: int = 256):
+    """One-kernel CTC prefix beam search (no LM fusion -- see module doc).
+
+    Returns (tokens (B, L), lengths (B,), scores (B,)), matching
+    decoding.prefix_beam.prefix_beam_search(lm_table=None) exactly.
+    """
+    B, T, V = logits.shape
+    K, L = beam_size, max_len
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tc = TIME_CHUNK
+    t_pad = _round_up(T, tc)
+    n_chunks = t_pad // tc
+    logp_tbv = jnp.swapaxes(
+        jnp.pad(logp, ((0, 0), (0, t_pad - T), (0, 0))), 0, 1)
+    kern = functools.partial(_beam_kernel, tc=tc, K=K, V=V, L=L, T=T,
+                             blank=blank)
+    tokens, lens, scores = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((tc, B, V), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # logit_len (B, 1)
+        ],
+        out_specs=[
+            pl.BlockSpec((B, L), lambda i: (0, 0)),
+            pl.BlockSpec((B, 1), lambda i: (0, 0)),
+            pl.BlockSpec((B, 1), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, K, L), jnp.int32),             # token buffers
+            pltpu.VMEM((B, K), jnp.int32),                # lengths
+            pltpu.VMEM((B, K), jnp.float32),              # pb
+            pltpu.VMEM((B, K), jnp.float32),              # pnb
+            pltpu.VMEM((B, K), jnp.int32),                # rolling hash
+            pltpu.VMEM((B, K), jnp.int32),                # last char
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(logp_tbv, logit_len.astype(jnp.int32)[:, None])
+    return tokens, lens[:, 0], scores[:, 0]

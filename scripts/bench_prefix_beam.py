@@ -36,21 +36,29 @@ def main() -> None:
     logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
     lens = jnp.full((B,), T, jnp.int32)
 
-    # ---- full search --------------------------------------------------------
-    def run():
-        return pb.prefix_beam_search(logits, lens, beam_size=K)
-
-    toks, out_lens, scores = run()
-    np.asarray(toks)  # warm; host fetch forces real completion (the axon
-    # tunnel's block_until_ready returns before remote execution finishes)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        np.asarray(run()[0])
-    dt = (time.perf_counter() - t0) / iters
+    # ---- full search (XLA scan and, on TPU, the fused Pallas kernel) -------
     frames_per_s = 100.0
     audio_s = B * T / frames_per_s
-    print(f"full search: {dt*1e3:.2f} ms  per-step {dt/T*1e6:.1f} us  "
-          f"RTF {dt/audio_s:.6f}  (batch RTF over {audio_s:.0f} audio-s)")
+
+    def measure(name, fn):
+        np.asarray(fn()[0])  # warm; host fetch forces real completion (the
+        # axon tunnel's block_until_ready returns before execution finishes)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            np.asarray(fn()[0])
+        dt = (time.perf_counter() - t0) / iters
+        print(f"{name}: {dt*1e3:.2f} ms  per-step {dt/T*1e6:.1f} us  "
+              f"RTF {dt/audio_s:.6f}  (batch RTF over {audio_s:.0f} audio-s)")
+
+    measure("xla scan  ", lambda: pb.prefix_beam_search(
+        logits, lens, beam_size=K, use_fused=False))
+    if kv.get("fused", "0") == "1":
+        # opt-in: exact but ~360x slower than the scan on v5e today
+        # (see ops/beam_pallas.py STATUS note)
+        from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused
+
+        measure("fused beam", lambda: prefix_beam_fused(
+            logits, lens, beam_size=K))
 
     # ---- merge+topk alone (scan over the same candidate work) --------------
     state = pb._init_state(B, K, 256)

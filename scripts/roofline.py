@@ -253,6 +253,7 @@ def build_cases() -> list[Case]:
 def main() -> None:
     kv = dict(a.split("=", 1) for a in sys.argv[1:])
     iters = int(kv.get("iters", 80))
+    only = kv.get("only", "")       # substring filter over kernel names
 
     import jax
     print(f"backend: {jax.default_backend()}  device: {jax.devices()[0]}")
@@ -265,6 +266,8 @@ def main() -> None:
     print("-" * len(hdr))
     rows = []
     for c in build_cases():
+        if only and only not in c.name:
+            continue
         fn, args = c.make()
         sec = _measure(fn, args, iters)
         tflops = c.flops / sec / 1e12

@@ -1,0 +1,74 @@
+"""Fully-fused Pallas prefix beam search vs the XLA beam (interpret mode).
+
+The XLA beam is itself parity-tested against the host oracle
+(tests/test_prefix_beam.py), so token equality here chains to the oracle.
+Shapes stay tiny: interpreter mode executes the unrolled per-frame body in
+Python.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+from pytorch_asr_tpu.ops import runtime
+from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    runtime.force_interpret(True)
+    yield
+    runtime.force_interpret(None)
+
+
+def _compare(logits, lens, K, L):
+    tk, lk, sk = prefix_beam_fused(logits, lens, beam_size=K, max_len=L)
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(logits.shape[0]):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_beam_matches_xla_beam(seed):
+    rng = np.random.default_rng(seed)
+    B, T, V, K, L = 2, 16, 32, 8, 20
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 5], np.int32)
+    _compare(logits, lens, K, L)
+
+
+def test_fused_beam_blank_dominated_gives_empty():
+    B, T, V = 1, 12, 32
+    logits = np.full((B, T, V), -8.0, np.float32)
+    logits[..., 0] = 6.0                     # blank wins everywhere
+    tk, lk, sk = prefix_beam_fused(jnp.asarray(logits),
+                                   jnp.asarray([T], np.int32),
+                                   beam_size=4, max_len=16)
+    assert int(lk[0]) == 0
+    assert np.isfinite(float(sk[0]))
+
+
+def test_fused_beam_peaky_decodes_argmax_sequence():
+    """A peaky distribution has one dominant path: beam == greedy collapse."""
+    from pytorch_asr_tpu.decoding.greedy import greedy_ctc
+
+    rng = np.random.default_rng(3)
+    B, T, V = 1, 14, 32
+    path = rng.integers(0, 6, T)             # mix of blanks + chars
+    logits = np.full((B, T, V), -10.0, np.float32)
+    for t, c in enumerate(path):
+        logits[0, t, c] = 8.0
+    lens = jnp.asarray([T], np.int32)
+    tk, lk, _ = prefix_beam_fused(jnp.asarray(logits), lens, beam_size=4,
+                                  max_len=16)
+    g_ids, g_n = greedy_ctc(jnp.asarray(logits), lens)
+    np.testing.assert_array_equal(np.asarray(tk)[0, : int(lk[0])],
+                                  np.asarray(g_ids)[0, : int(g_n[0])])

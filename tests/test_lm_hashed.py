@@ -11,6 +11,8 @@ hashed-backoff replacement:
   * the beam-sharded variant matches the unsharded one with hash_lm.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -159,3 +161,34 @@ def test_arpa_roundtrip_bpe(bpe_tok, tmp_path):
             continue
         assert ng in lm2.logprobs, ng
         np.testing.assert_allclose(lm2.logprobs[ng], lp, atol=2e-5)
+
+
+def test_attention_beam_hashed_matches_dense():
+    """Attention beam fusion: hash_lm == lm_table on the char vocab."""
+    import importlib.util
+
+    from pytorch_asr_tpu.decoding.attention_beam import attention_beam_search
+
+    spec = importlib.util.spec_from_file_location(
+        "tab", os.path.join(os.path.dirname(__file__),
+                            "test_attention_beam.py"))
+    tab = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tab)
+
+    model, params, enc, enc_len, _ = tab._model_and_params(seed=3)
+    tok = CharTokenizer()
+    lm = train_char_ngram_kn(TEXTS, order=3, include_eos=True)
+    table = jnp.asarray(tensorize(lm, tok))
+    hl = build_hashed_lm(lm, tok.vocab_size)
+    kw = dict(sos_id=tok.sos_id, eos_id=tok.eos_id, beam_size=4, max_len=10,
+              lm_alpha=0.4)
+    td, ld, sd = attention_beam_search(model, params, enc, enc_len,
+                                       lm_table=table, **kw)
+    th, lh, sh = attention_beam_search(model, params, enc, enc_len,
+                                       hash_lm=hl, **kw)
+    np.testing.assert_array_equal(np.asarray(ld), np.asarray(lh))
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(sh), rtol=1e-5)
+    for b in range(enc.shape[0]):
+        n = int(ld[b])
+        np.testing.assert_array_equal(np.asarray(td)[b, :n],
+                                      np.asarray(th)[b, :n])
