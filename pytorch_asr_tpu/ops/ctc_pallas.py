@@ -3,33 +3,40 @@
 The reference uses ATen/cuDNN C++/CUDA CTC.  The jnp scan version (ops/ctc.py)
 is the correctness oracle but pays XLA's per-step scan overhead ~ O(T) kernel
 launches (~30-45 ms at B=16, T=250 on v5e).  Here the whole recurrence runs
-inside two Pallas kernels.
+inside two Pallas kernels:
 
-Design (v2 -- the round-1 kernel measured 32% of speed-of-light, bounded by
-three (T, B, S~512) f32 lattices streamed through HBM; this version removes
-ALL of them, ~13x less lattice traffic):
+  * forward: alpha recursion, time-chunked.  The grid iterates over T-chunks
+    (sequential on-core), BlockSpecs auto-pipeline the (Tc, B, S) log-prob
+    chunks HBM->VMEM, and the (B, S) alpha carry lives in persistent scratch.
+    All alphas stream back to HBM for the backward pass.
+  * backward: beta recursion with the grid walking chunks in reverse time
+    order, emitting w = exp(alpha + beta - logZ) (the state posteriors).
 
-  * the emission lattice logp[b, t, ext[b, s]] is NEVER materialized in HBM:
-    each kernel invocation rebuilds its (tc, B, S) chunk on the MXU from the
-    (tc, B, V=32) log-prob chunk and the per-utterance one-hot label matrix
-    (B, S, V) resident in VMEM -- 16x less HBM read than the lattice
-    (V=32 vs S_pad=512);
-  * the forward stores only CHUNK-BOUNDARY alpha snapshots (T/tc, B, S); the
-    backward re-runs the tc-step alpha recursion per chunk in VMEM
-    (checkpoint-recompute, the jax.checkpoint trade applied inside the
-    kernel) -- 32x less alpha traffic for one extra VPU recursion pass;
-  * the backward never emits the (T, B, S) posterior lattice w: it projects
-    w onto the vocabulary in-kernel (one (tc*B, S) @ (S, V) one-hot matmul
-    per chunk) and writes gamma_v (T, B, V); the occupancy total
-    sum_s w[t, b, s] equals sum_v gamma_v[t, b, v] (one-hot rows sum to 1),
-    so the XLA epilogue computes the gradient from gamma_v alone.
-
-Lane layout: batch on sublanes, lattice states on lanes (S padded to 128);
-the s-1/s-2 shifts are static lane rolls.  One-hot matmuls run at HIGHEST
-precision: one-hot rows are exact 1.0, so the matmul reproduces gathered
-values bit-for-bit and gradients stay parity-exact vs torch.nn.CTCLoss.
+Label-dependent gathers/scatters (ext-label log-prob gather, S->V posterior
+scatter, log-softmax) stay in XLA where they fuse; the kernels do only the
+sequential work XLA is bad at.  Lane layout: batch on sublanes, lattice states
+on lanes (S padded to 128); the s-1/s-2 shifts are static lane rolls.
 
 Parity: tests/test_ctc_pallas.py vs ops/ctc.py (itself vs torch.nn.CTCLoss).
+
+DESIGN INVESTIGATION (round 2, VERDICT item "push CTC 32% SOL -> >=50%"):
+three redesigns targeting the presumed HBM bound were built, parity-tested,
+and MEASURED on v5e at B=128 T=250 S=512 (fwd+bwd, jax.grad):
+
+  this design (lattice/alphas/w streamed via HBM) ... 1.022 ms
+  v2: in-kernel emission lattice + chunk-checkpointed alphas with in-kernel
+      recompute + in-kernel posterior->vocab projection ............ 1.330 ms
+  v2b: as v2 but alphas stored (no recompute) ..................... 1.114 ms
+  v3: XLA-built lattice (as here) + in-kernel projection only ..... 1.154 ms
+
+Conclusion: the kernel is bound by the sequential VPU logsumexp recursion
+(~0.7 ms of irreducible per-step vector work), not HBM -- the 32% figure
+came from a bytes-only speed-of-light model.  Every variant that moved
+matmul/transpose work INTO the kernel lost: Mosaic serializes small batched
+dot_generals and relayouts that XLA fuses.  The HBM lattice streams overlap
+the recursion via the BlockSpec pipeline, so removing them buys nothing.
+This file keeps the fastest measured design; the roofline entry documents
+the VPU bound (scripts/roofline.py).
 """
 
 from __future__ import annotations
@@ -76,41 +83,17 @@ def _logsumexp3(a, b, c):
     return jnp.maximum(tot, NEG_INF)
 
 
-def _chunk_lattice(logp_chunk, onehot, valid_s, tc):
-    """(tc, B, V) log-probs + (B, S, V) one-hot -> (B, tc, S) lattice chunk.
-
-    HIGHEST precision: one-hot rows are exact, so this equals the gather
-    logp[b, t, ext[b, s]] bit-for-bit.  Invalid lattice states -> NEG_INF.
-    """
-    lp = jnp.swapaxes(logp_chunk, 0, 1)                # (B, tc, V)
-    # Mosaic batched matmul needs batch dims at the SAME position (0, 0).
-    lat = jax.lax.dot_general(
-        lp, onehot,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)            # (B, tc, S)
-    return jnp.where(valid_s[:, None, :], lat, NEG_INF)
-
-
-def _fwd_kernel(logp_ref, onehot_ref, skip_ref, len_ref, lablen_ref,
-                bound_ref, final_ref, alpha_sc, *, tc: int, s_pad: int):
-    i = pl.program_id(1)                       # time-chunk index (inner dim)
-    B = skip_ref.shape[0]
+def _fwd_kernel(logp_ref, skip_ref, len_ref, alphas_ref, final_ref,
+                alpha_sc, *, tc: int, s_pad: int):
+    i = pl.program_id(1)                       # time-chunk index (inner grid dim)
+    B = logp_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, s_pad), 1)
-
-    @pl.when(i == 0)
-    def _():
-        alpha_sc[:] = jnp.full((B, s_pad), NEG_INF)
-
-    bound_ref[0] = alpha_sc[:]                 # alpha ENTERING this chunk
-    valid_s = lane < 2 * lablen_ref[:] + 1
-    lat = _chunk_lattice(logp_ref[:], onehot_ref[:], valid_s, tc)
     alpha = alpha_sc[:]
-    skip_add = skip_ref[:]                     # 0 where skip allowed else NEG_INF
-    lens = len_ref[:]                          # (B, 1)
+    skip_add = skip_ref[:]                      # 0 where skip allowed else NEG_INF
+    lens = len_ref[:]                           # (B, 1)
     for j in range(tc):
         t = i * tc + j
-        logp_t = lat[:, j]
+        logp_t = logp_ref[j]
         stay = alpha
         s1 = _shift_r(alpha, 1, lane)
         s2 = _shift_r(alpha, 2, lane) + skip_add
@@ -119,16 +102,16 @@ def _fwd_kernel(logp_ref, onehot_ref, skip_ref, len_ref, lablen_ref,
         alpha0 = jnp.where(lane < 2, logp_t, NEG_INF)
         alpha = jnp.where(t == 0, alpha0,
                           jnp.where(t < lens, anew, alpha))
+        alphas_ref[j] = alpha
     alpha_sc[:] = alpha
     final_ref[:] = alpha
 
 
-def _bwd_kernel(logp_ref, onehot_ref, skip_ref, skip_from_ref, bound_ref,
-                beta_T_ref, len_ref, lablen_ref, logz_ref,
-                gamma_ref, beta_sc, logp_next_sc, w_sc,
+def _bwd_kernel(logp_ref, alphas_ref, skip_from_ref, beta_T_ref, len_ref,
+                logz_ref, w_ref, beta_sc, logp_next_sc,
                 *, tc: int, s_pad: int, n_chunks: int):
     i = pl.program_id(1)                       # reversed time-chunk index
-    B = skip_ref.shape[0]
+    B = logp_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, s_pad), 1)
 
     @pl.when(i == 0)
@@ -136,36 +119,16 @@ def _bwd_kernel(logp_ref, onehot_ref, skip_ref, skip_from_ref, bound_ref,
         beta_sc[:] = jnp.full((B, s_pad), NEG_INF)
         logp_next_sc[:] = jnp.full((B, s_pad), NEG_INF)
 
-    valid_s = lane < 2 * lablen_ref[:] + 1
-    lat = _chunk_lattice(logp_ref[:], onehot_ref[:], valid_s, tc)
-    lens = len_ref[:]
-    chunk = n_chunks - 1 - i
-
-    # --- alpha recompute from the chunk-boundary checkpoint ----------------
-    alpha = bound_ref[0]
-    skip_add = skip_ref[:]
-    for j in range(tc):
-        t = chunk * tc + j
-        logp_t = lat[:, j]
-        stay = alpha
-        s1 = _shift_r(alpha, 1, lane)
-        s2 = _shift_r(alpha, 2, lane) + skip_add
-        anew = _logsumexp3(stay, s1, s2) + logp_t
-        anew = jnp.maximum(anew, NEG_INF)
-        alpha0 = jnp.where(lane < 2, logp_t, NEG_INF)
-        alpha = jnp.where(t == 0, alpha0,
-                          jnp.where(t < lens, anew, alpha))
-        w_sc[j] = alpha                        # alphas parked in the w buffer
-
-    # --- beta walk; w = exp(alpha + beta - logZ) overwrites in place -------
     beta = beta_sc[:]
     logp_next = logp_next_sc[:]
     skip_from = skip_from_ref[:]
     beta_T = beta_T_ref[:]
+    lens = len_ref[:]
     logz = logz_ref[:]
+    chunk = n_chunks - 1 - i
     for j in reversed(range(tc)):
         t = chunk * tc + j
-        logp_t = lat[:, j]
+        logp_t = logp_ref[j]
         term = beta + logp_next
         stay = term
         s1 = _shift_l(term, 1, lane, s_pad)
@@ -173,25 +136,16 @@ def _bwd_kernel(logp_ref, onehot_ref, skip_ref, skip_from_ref, bound_ref,
         recursed = _logsumexp3(stay, s1, s2)
         beta = jnp.where(t == lens - 1, beta_T,
                          jnp.where(t < lens - 1, recursed, beta))
-        gamma = w_sc[j] + beta - logz
-        w_sc[j] = jnp.exp(jnp.maximum(jnp.where(t < lens, gamma, NEG_INF),
-                                      NEG_INF))
+        gamma = alphas_ref[j] + beta - logz
+        w = jnp.exp(jnp.maximum(jnp.where(t < lens, gamma, NEG_INF), NEG_INF))
+        w_ref[j] = w
         logp_next = logp_t
     beta_sc[:] = beta
     logp_next_sc[:] = logp_next
 
-    # --- project posteriors onto the vocab: (B, tc, S) @ (B, S, V) ---------
-    w_bt = jnp.swapaxes(w_sc[:], 0, 1)         # (B, tc, S)
-    gv = jax.lax.dot_general(
-        w_bt, onehot_ref[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)    # (B, tc, V)
-    gamma_ref[:] = jnp.swapaxes(gv, 0, 1)      # (tc, B, V)
-
 
 def _prep_pallas(logits, logit_len, labels, label_len, blank):
-    """XLA-side prep shared by fwd/bwd: log-softmax, one-hot labels, masks."""
+    """XLA-side prep shared by fwd/bwd: log-softmax, ext lattice, masks."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)            # (B, T, V)
     B, T, V = logp.shape
@@ -200,15 +154,24 @@ def _prep_pallas(logits, logit_len, labels, label_len, blank):
     S = ext.shape[1]
     s_pad = _round_up(max(S, LANE), LANE)
     t_pad = _round_up(T, TIME_CHUNK)
+    # Emission lattice logp_tbs[t,b,s] = logp[b,t,ext[b,s]] as ONE one-hot
+    # batched matmul on the MXU, emitted directly at padded shape — a per-row
+    # lane gather plus a 67 MB pad copy measured 0.68+0.17 ms at B=128 on
+    # v5e, the matmul ~0.1 ms.  One-hot rows are exact 1.0, so HIGHEST
+    # precision reproduces the gathered values (same trick as the backward
+    # scatter below).
     ext_p = jnp.pad(ext, ((0, 0), (0, s_pad - S)))        # pad rows -> label 0
     onehot = jax.nn.one_hot(ext_p, V, dtype=jnp.float32)  # (B, Sp, V)
-    # time-major (t_pad, B, V) log-prob stream; padded rows gated by lens
-    logp_tbv = jnp.swapaxes(
-        jnp.pad(logp, ((0, 0), (0, t_pad - T), (0, 0))), 0, 1)
+    logp_tp = jnp.pad(logp, ((0, 0), (0, t_pad - T), (0, 0)))
+    logp_tbs = jnp.einsum("btv,bsv->tbs", logp_tp, onehot,
+                          precision=jax.lax.Precision.HIGHEST)
+    valid_s = jnp.arange(s_pad)[None, :] < 2 * label_len[:, None] + 1
+    valid_t = (jnp.arange(t_pad) < T)[:, None, None]
+    logp_tbs = jnp.where(valid_s[None] & valid_t, logp_tbs, NEG_INF)
     skip_add = jnp.where(skip, 0.0, NEG_INF).astype(jnp.float32)
     skip_add = jnp.pad(skip_add, ((0, 0), (0, s_pad - S)),
                        constant_values=NEG_INF)
-    return logp, logp_tbv, onehot, skip_add, s_pad, t_pad
+    return logp, logp_tbs, ext, skip_add, s_pad, t_pad
 
 
 def _pad_batch(x, b_pad, axis, fill):
@@ -217,95 +180,76 @@ def _pad_batch(x, b_pad, axis, fill):
     return jnp.pad(x, pads, constant_values=fill) if b_pad != x.shape[axis] else x
 
 
-def _batch_blocks(B: int) -> tuple[int, int]:
+def _run_forward(logp_tbs, skip_add, logit_len, s_pad, t_pad):
+    B = logp_tbs.shape[1]
     bb = min(BATCH_BLOCK, _round_up(B, 8))
-    return bb, _round_up(B, bb)
-
-
-def _run_forward(logp_tbv, onehot, skip_add, logit_len, label_len,
-                 s_pad, t_pad):
-    B = logp_tbv.shape[1]
-    V = logp_tbv.shape[2]
-    bb, b_pad = _batch_blocks(B)
-    logp_tbv = _pad_batch(logp_tbv, b_pad, 1, 0.0)
-    onehot = _pad_batch(onehot, b_pad, 0, 0.0)
+    b_pad = _round_up(B, bb)
+    logp_tbs = _pad_batch(logp_tbs, b_pad, 1, NEG_INF)
     skip_add = _pad_batch(skip_add, b_pad, 0, NEG_INF)
     lens = _pad_batch(logit_len.astype(jnp.int32)[:, None], b_pad, 0, 0)
-    lablen = _pad_batch(label_len.astype(jnp.int32)[:, None], b_pad, 0, 0)
     n_chunks = t_pad // TIME_CHUNK
     kern = functools.partial(_fwd_kernel, tc=TIME_CHUNK, s_pad=s_pad)
-    row = lambda b, i: (b, 0)  # noqa: E731
-    bounds, final = pl.pallas_call(
+    alphas, final = pl.pallas_call(
         kern,
         grid=(b_pad // bb, n_chunks),
         in_specs=[
-            pl.BlockSpec((TIME_CHUNK, bb, V), lambda b, i: (i, b, 0)),
-            pl.BlockSpec((bb, s_pad, V), lambda b, i: (b, 0, 0)),  # one-hot
-            pl.BlockSpec((bb, s_pad), row),                # skip_add
-            pl.BlockSpec((bb, 1), row),                    # lens
-            pl.BlockSpec((bb, 1), row),                    # label lens
+            pl.BlockSpec((TIME_CHUNK, bb, s_pad), lambda b, i: (i, b, 0)),
+            pl.BlockSpec((bb, s_pad), lambda b, i: (b, 0)),    # skip_add
+            pl.BlockSpec((bb, 1), lambda b, i: (b, 0)),        # lens
         ],
         out_specs=[
-            pl.BlockSpec((1, bb, s_pad), lambda b, i: (i, b, 0)),
-            pl.BlockSpec((bb, s_pad), row),
+            pl.BlockSpec((TIME_CHUNK, bb, s_pad), lambda b, i: (i, b, 0)),
+            pl.BlockSpec((bb, s_pad), lambda b, i: (b, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks, b_pad, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, b_pad, s_pad), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bb, s_pad), jnp.float32)],
         interpret=pallas_interpret(),
-    )(logp_tbv, onehot, skip_add, lens, lablen)
-    return bounds[:, :B], final[:B]
+    )(logp_tbs, skip_add, lens)
+    return alphas[:, :B], final[:B]
 
 
-def _run_backward(logp_tbv, onehot, bounds, skip_add, beta_T, logit_len,
-                  label_len, logz, s_pad, t_pad):
-    B = logp_tbv.shape[1]
-    V = logp_tbv.shape[2]
-    bb, b_pad = _batch_blocks(B)
+def _run_backward(logp_tbs, alphas, skip_add, beta_T, logit_len, logz,
+                  s_pad, t_pad):
+    B = logp_tbs.shape[1]
+    bb = min(BATCH_BLOCK, _round_up(B, 8))
+    b_pad = _round_up(B, bb)
     n_chunks = t_pad // TIME_CHUNK
     # skip transitions s -> s+2 allowed iff arrival-skip allowed at s+2
     skip_from = jnp.concatenate(
         [skip_add[:, 2:], jnp.full((B, 2), NEG_INF, jnp.float32)], axis=1)
-    logp_tbv = _pad_batch(logp_tbv, b_pad, 1, 0.0)
-    onehot = _pad_batch(onehot, b_pad, 0, 0.0)
-    bounds = _pad_batch(bounds, b_pad, 1, NEG_INF)
-    skip_add = _pad_batch(skip_add, b_pad, 0, NEG_INF)
+    logp_tbs = _pad_batch(logp_tbs, b_pad, 1, NEG_INF)
+    alphas = _pad_batch(alphas, b_pad, 1, NEG_INF)
     skip_from = _pad_batch(skip_from, b_pad, 0, NEG_INF)
     beta_T = _pad_batch(beta_T, b_pad, 0, NEG_INF)
     lens = _pad_batch(logit_len.astype(jnp.int32)[:, None], b_pad, 0, 0)
-    lablen = _pad_batch(label_len.astype(jnp.int32)[:, None], b_pad, 0, 0)
     logz_p = _pad_batch(logz[:, None], b_pad, 0, 0.0)
     kern = functools.partial(_bwd_kernel, tc=TIME_CHUNK, s_pad=s_pad,
                              n_chunks=n_chunks)
     rev3 = lambda b, i: (n_chunks - 1 - i, b, 0)  # noqa: E731
     row = lambda b, i: (b, 0)  # noqa: E731
-    gamma = pl.pallas_call(
+    w = pl.pallas_call(
         kern,
         grid=(b_pad // bb, n_chunks),
         in_specs=[
-            pl.BlockSpec((TIME_CHUNK, bb, V), rev3),       # logp chunks, rev
-            pl.BlockSpec((bb, s_pad, V), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((bb, s_pad), row),                # skip_add
-            pl.BlockSpec((bb, s_pad), row),                # skip_from
-            pl.BlockSpec((1, bb, s_pad), rev3),            # alpha checkpoints
-            pl.BlockSpec((bb, s_pad), row),                # beta_T
-            pl.BlockSpec((bb, 1), row),                    # lens
-            pl.BlockSpec((bb, 1), row),                    # label lens
-            pl.BlockSpec((bb, 1), row),                    # logz
+            pl.BlockSpec((TIME_CHUNK, bb, s_pad), rev3),  # logp chunks, reversed
+            pl.BlockSpec((TIME_CHUNK, bb, s_pad), rev3),  # alpha chunks, reversed
+            pl.BlockSpec((bb, s_pad), row),               # skip_from
+            pl.BlockSpec((bb, s_pad), row),               # beta_T
+            pl.BlockSpec((bb, 1), row),                   # lens
+            pl.BlockSpec((bb, 1), row),                   # logz
         ],
-        out_specs=pl.BlockSpec((TIME_CHUNK, bb, V), rev3),
-        out_shape=jax.ShapeDtypeStruct((t_pad, b_pad, V), jnp.float32),
+        out_specs=pl.BlockSpec((TIME_CHUNK, bb, s_pad), rev3),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b_pad, s_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bb, s_pad), jnp.float32),          # beta carry
-            pltpu.VMEM((bb, s_pad), jnp.float32),          # logp_{t+1} carry
-            pltpu.VMEM((TIME_CHUNK, bb, s_pad), jnp.float32),  # alpha/w buffer
+            pltpu.VMEM((bb, s_pad), jnp.float32),         # beta carry
+            pltpu.VMEM((bb, s_pad), jnp.float32),         # logp_{t+1} carry
         ],
         interpret=pallas_interpret(),
-    )(logp_tbv, onehot, skip_add, skip_from, bounds, beta_T, lens, lablen,
-      logz_p)
-    return gamma[:, :B]
+    )(logp_tbs, alphas, skip_from, beta_T, lens, logz_p)
+    return w[:, :B]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -316,14 +260,13 @@ def ctc_loss_pallas(logits, logit_len, labels, label_len, blank=0):
 
 
 def _forward_impl(logits, logit_len, labels, label_len, blank):
-    logp, logp_tbv, onehot, skip_add, s_pad, t_pad = _prep_pallas(
+    logp, logp_tbs, ext, skip_add, s_pad, t_pad = _prep_pallas(
         logits, logit_len, labels, label_len, blank)
-    bounds, final = _run_forward(logp_tbv, onehot, skip_add, logit_len,
-                                 label_len, s_pad, t_pad)
+    alphas, final = _run_forward(logp_tbs, skip_add, logit_len, s_pad, t_pad)
     logz = _terminal_logz(final, label_len)
     feasible = (logz > NEG_INF / 2) & (logit_len > 0)
     loss = jnp.where(feasible, -logz, 0.0)
-    residuals = (logp, logp_tbv, onehot, bounds, skip_add, logz, feasible,
+    residuals = (logp, logp_tbs, alphas, skip_add, ext, logz, feasible,
                  logit_len, label_len, s_pad, t_pad)
     return loss, residuals
 
@@ -333,9 +276,10 @@ def _fwd_rule(logits, logit_len, labels, label_len, blank):
 
 
 def _bwd_rule(blank, residuals, g):
-    (logp, logp_tbv, onehot, bounds, skip_add, logz, feasible,
+    (logp, logp_tbs, alphas, skip_add, ext, logz, feasible,
      logit_len, label_len, s_pad, t_pad) = residuals
     B, T, V = logp.shape
+    S = ext.shape[1]
     bidx = jnp.arange(B)
     beta_T = jnp.full((B, s_pad), NEG_INF)
     beta_T = beta_T.at[bidx, 2 * label_len].set(0.0)
@@ -344,17 +288,18 @@ def _bwd_rule(blank, residuals, g):
         & (jnp.arange(s_pad)[None, :] == jnp.maximum(2 * label_len - 1, 0)[:, None]),
         0.0, beta_T)
     logz_safe = jnp.where(feasible, logz, 0.0)
-    gamma_v = _run_backward(logp_tbv, onehot, bounds, skip_add, beta_T,
-                            logit_len, label_len, logz_safe, s_pad, t_pad)
-    gamma_v = jnp.swapaxes(gamma_v[:T], 0, 1)               # (B, T, V)
-    gamma_v = gamma_v * feasible[:, None, None]
+    w = _run_backward(logp_tbs, alphas, skip_add, beta_T, logit_len,
+                      logz_safe, s_pad, t_pad)              # (Tp, B, Sp)
+    w = w[:T, :, :S] * feasible[None, :, None]
+    onehot = jax.nn.one_hot(ext, V, dtype=w.dtype)          # (B, S, V)
+    gamma_v = jnp.einsum("tbs,bsv->tbv", w, onehot,
+                         precision=jax.lax.Precision.HIGHEST)
     p = jnp.exp(logp)                                       # (B, T, V)
     t_valid = (jnp.arange(T)[None, :] < logit_len[:, None])[..., None]
-    # sum_v gamma_v == sum_s w (one-hot rows sum to 1), so the occupancy
-    # total never needs the (T, B, S) posterior lattice.
     grad = jnp.where(
         t_valid,
-        p * jnp.sum(gamma_v, axis=-1, keepdims=True) - gamma_v,
+        p * jnp.sum(gamma_v, axis=-1).transpose(1, 0)[..., None]
+        - jnp.swapaxes(gamma_v, 0, 1),
         0.0)
     return grad * g[:, None, None], None, None, None
 

@@ -162,20 +162,21 @@ def build_cases() -> list[Case]:
             return ctc_loss_pallas(z, logit_len, labels, label_len).sum()
         return jax.grad(loss)(lg)
 
-    # v2 kernel: no (T,B,S) lattice in HBM.  Traffic = (B,T,V) streams
-    # (logits r, logp w+r fwd, logp r bwd, gamma_v w+r, grad w), chunk-
-    # boundary alpha checkpoints w+r, one-hot matrix r x2.
-    t_pad_c = -(-Tc // 32) * 32
-    lat_bv = t_pad_c * Bc * V * 4
-    bounds = 2 * (t_pad_c // 32) * Bc * S_pad * 4
-    ctc_bytes = 7 * lat_bv + bounds + 2 * Bc * S_pad * V * 4
-    # emission lattice matmul x3 (fwd, bwd rebuild) + gamma projection
-    ctc_flops = 2.0 * Bc * t_pad_c * V * S_pad * 3
+    # lattice (T,B,S) f32: built once (write), read by fwd, alphas written by
+    # fwd and re-read by bwd, plus grad (B,T,V) out; lattice one-hot matmul.
+    # NOTE: the kernel is actually bound by the sequential VPU logsumexp
+    # recursion, which this MXU/HBM model cannot see -- three redesigns that
+    # cut the HBM terms all measured SLOWER (1.33/1.11/1.15 vs 1.02 ms; see
+    # the design-investigation note in ops/ctc_pallas.py).  Treat %SOL here
+    # as a lower bound on kernel quality.
+    lat = Tc * Bc * S_pad * 4
+    ctc_bytes = 4 * lat + Bc * Tc * V * 4 * 2
+    ctc_flops = 2.0 * Bc * Tc * V * S_pad * 2    # emission + grad scatter matmuls
     cases.append(Case(
         "ctc loss fwd+bwd", lambda: (ctc_train, (logits,)),
         ctc_flops, ctc_bytes, FP32_PEAK,
-        f"B={Bc} T={Tc} S={S}->pad{S_pad}; in-kernel lattice, "
-        "checkpointed alphas"))
+        f"B={Bc} T={Tc} S={S}->pad{S_pad}; VPU-recursion-bound "
+        "(see ops/ctc_pallas.py design note)"))
 
     # ---- TCN residual block (inference path) ------------------------------
     Bt, Tt, C, K = 16, 1000, 384, 3
