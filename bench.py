@@ -83,7 +83,7 @@ def build():
     return state, batch, step_fn, mesh
 
 
-def pipeline_bench(measure_steps: int = 30):
+def pipeline_bench(measure_steps: int = 20):
     """Real-input-stream throughput: bucketed variable-length batches pulled
     through the grain iterator (VERDICT r1 item 7 / SURVEY.md:369).
 
@@ -103,8 +103,8 @@ def pipeline_bench(measure_steps: int = 30):
         build_model, init_train_state, make_train_step)
 
     B = int(os.environ.get("ASR_BENCH_PIPE_BATCH", "64"))
-    buckets_a = (64000, 128000, 224000)      # 4 / 8 / 14 s
-    buckets_l = (96, 192, 320)
+    buckets_a = (96000, 224000)              # 6 / 14 s (each = one XLA compile)
+    buckets_l = (144, 320)
     cfg = get_config("ctc_bilstm_dev1h")
     cfg = dataclasses.replace(
         cfg,
@@ -113,7 +113,7 @@ def pipeline_bench(measure_steps: int = 30):
                         bucket_label_lens=buckets_l),
     )
     # LibriSpeech-like duration mix: most utterances 3-14 s.
-    corpus = synthetic_corpus(512, SAMPLE_RATE, seed=0,
+    corpus = synthetic_corpus(256, SAMPLE_RATE, seed=0,
                               min_sec=3.0, max_sec=13.0)
     it = GrainBucketedIterator(corpus, batch_size=B,
                                bucket_audio_lens=buckets_a,
@@ -182,13 +182,26 @@ def main() -> None:
         "unit": "audio_s/s/chip",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
     }
+    # Print the headline NOW: if the driver's timeout (or a tunnel hiccup)
+    # cuts the pipeline phase short, the last complete line still carries
+    # the contract metric.
+    print(json.dumps(out), flush=True)
     if os.environ.get("ASR_BENCH_PIPELINE", "1") == "1":
         # Real-input-stream mode: grain iterator + bucketed variable lengths
         # + host pipeline inside the loop; padding efficiency alongside.
-        pipe_value, pad_eff = pipeline_bench()
-        out["pipeline_audio_s_per_s_per_chip"] = round(pipe_value, 2)
-        out["padding_efficiency"] = round(pad_eff, 4)
-    print(json.dumps(out))
+        try:
+            pipe_value, pad_eff = pipeline_bench()
+            out["pipeline_audio_s_per_s_per_chip"] = round(pipe_value, 2)
+            out["padding_efficiency"] = round(pad_eff, 4)
+            # In this environment host->device batches traverse the remote
+            # axon tunnel, so the pipeline number is a tunnel-bandwidth lower
+            # bound, NOT a chip/host measure; padding_efficiency (valid
+            # audio-s / padded bucket capacity) is environment-independent.
+            out["pipeline_note"] = "H2D via remote tunnel; lower bound"
+            print(json.dumps(out), flush=True)
+        except Exception as e:  # never lose the headline to a pipeline fault
+            print(f"pipeline bench failed: {e!r}", flush=True)
+            print(json.dumps(out), flush=True)   # keep a JSON line last
 
 
 if __name__ == "__main__":
