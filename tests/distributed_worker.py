@@ -56,13 +56,22 @@ def global_batch(n_rows: int = 8):
     }
 
 
-def run_steps(cfg, mesh, local_batch, steps: int = 2):
-    """init -> replicate params -> assemble global batch -> n train steps."""
+def run_steps(cfg, mesh, local_batch, steps: int = 2,
+              tensor_parallel: bool = False):
+    """init -> place params -> assemble global batch -> n train steps.
+
+    ``tensor_parallel``: place parameters/optimizer with the TP layout
+    (parallel/sharding.py RULES).  Placement goes through
+    ``jax.make_array_from_callback`` because in a multi-controller run each
+    process can only materialize ITS addressable shards of a model-sharded
+    array (plain device_put only works fully-replicated).
+    """
     import jax
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pytorch_asr_tpu.parallel.mesh import shard_batch, use_mesh
+    from pytorch_asr_tpu.parallel.sharding import param_shardings
     from pytorch_asr_tpu.training.state import (
         build_model, init_train_state, make_train_step)
 
@@ -71,7 +80,24 @@ def run_steps(cfg, mesh, local_batch, steps: int = 2):
     with use_mesh(mesh):
         state = init_train_state(cfg, model, sample)
         rep = NamedSharding(mesh, P())
-        state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+        def from_host(x, sh):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sh, lambda idx: arr[idx])
+
+        if tensor_parallel:
+            place = lambda t: jax.tree.map(  # noqa: E731
+                from_host, t, param_shardings(t, mesh))
+        else:
+            place = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: from_host(x, rep), t)
+        state = state.replace(
+            params=place(state.params),
+            opt_state=place(state.opt_state),
+            step=from_host(state.step, rep),
+            rng=from_host(state.rng, rep),
+        )
         batch = shard_batch(mesh, local_batch)
         train_step = jax.jit(make_train_step(cfg, model))
         losses = []
@@ -132,6 +158,11 @@ def main() -> None:
     local = {k: v[pid * 4:(pid + 1) * 4] for k, v in gb.items()}
     losses = run_steps(cfg, mesh, local)
 
+    # multi-process TENSOR PARALLELISM: (data=4, model=2) over both hosts,
+    # LSTM gate dims sharded across processes.
+    mesh_tp = make_mesh(MeshConfig(model_axis=2))
+    tp_losses = run_steps(cfg, mesh_tp, local, tensor_parallel=True)
+
     # Primary-gated writes (reference: rank 0 logs/saves).
     if distributed.is_primary():
         with open(os.path.join(outdir, "primary.marker"), "w") as fh:
@@ -139,6 +170,8 @@ def main() -> None:
 
     with open(os.path.join(outdir, f"result_{pid}.json"), "w") as fh:
         json.dump({"topology": topo, "losses": losses,
+                   "tp_losses": tp_losses,
+                   "tp_mesh_shape": {k: int(v) for k, v in mesh_tp.shape.items()},
                    "utt_keys": utt_keys,
                    "mesh_shape": {k: int(v) for k, v in mesh.shape.items()},
                    "host_shard": [num_shards, shard_index]}, fh)

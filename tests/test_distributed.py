@@ -88,6 +88,30 @@ def test_primary_only_writes(two_process_run):
         assert "process 0" in fh.read()
 
 
+def test_multiprocess_tensor_parallel(two_process_run):
+    """(data=4, model=2) across 2 processes: LSTM gate shards live on
+    different hosts; losses agree across processes and with the
+    single-process TP run."""
+    _, results = two_process_run
+    for r in results:
+        assert r["tp_mesh_shape"] == {"data": 4, "model": 2}
+    np.testing.assert_allclose(results[0]["tp_losses"],
+                               results[1]["tp_losses"], rtol=0, atol=0)
+    import importlib.util
+
+    from pytorch_asr_tpu.configs.base import MeshConfig
+    from pytorch_asr_tpu.parallel.mesh import make_mesh
+
+    spec = importlib.util.spec_from_file_location("distributed_worker", WORKER)
+    worker = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(worker)
+    cfg = worker.tiny_cfg()
+    mesh = make_mesh(MeshConfig(model_axis=2))
+    ref = worker.run_steps(cfg, mesh, worker.global_batch(),
+                           tensor_parallel=True)
+    np.testing.assert_allclose(results[0]["tp_losses"], ref, rtol=1e-5)
+
+
 def test_distributed_loss_matches_single_process(two_process_run):
     _, results = two_process_run
     l0, l1 = results[0]["losses"], results[1]["losses"]
