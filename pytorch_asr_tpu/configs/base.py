@@ -54,6 +54,10 @@ class DataConfig:
     # Bucket boundaries in audio samples; each bucket is one static XLA shape.
     bucket_audio_lens: Tuple[int, ...] = (48000, 96000, 160000, 240000, 320000)
     bucket_label_lens: Tuple[int, ...] = (96, 192, 320, 480, 640)
+    # > 0: IGNORE the ladders above and derive this many buckets from the
+    # corpus length profile (data/bucket_opt.py: DP-minimal padding waste;
+    # SURVEY §7.3 -- bucket design is where audio-s/s is lost).
+    auto_buckets: int = 0
     shuffle_seed: int = 0
     # SortaGrad (Deep Speech 2): first pass in ascending length order.
     sortagrad: bool = False

@@ -31,15 +31,30 @@ def load_corpus_for(cfg: DataConfig, sample_rate: int,
         max_sec=cfg.synthetic_max_sec or None)
 
 
+def resolve_buckets(cfg: DataConfig, corpus, tokenizer):
+    """Bucket ladders from the config, or OPTIMIZED from the corpus length
+    profile when cfg.auto_buckets > 0 (data/bucket_opt.py: DP-minimal
+    padding; each bucket is one XLA compilation)."""
+    if getattr(cfg, "auto_buckets", 0) <= 0:
+        return cfg.bucket_audio_lens, cfg.bucket_label_lens
+    from pytorch_asr_tpu.data.bucket_opt import optimize_buckets
+
+    audio_lens = [len(a) for a, _ in corpus]
+    label_lens = [len(tokenizer.encode(t)) for _, t in corpus]
+    return optimize_buckets(audio_lens, label_lens, cfg.auto_buckets)
+
+
 def build_dataset(cfg: DataConfig, sample_rate: int, max_utts: int | None = None) -> BucketedDataset:
     """Build the bucketed dataset named by ``cfg`` (synthetic when no data root)."""
     corpus = load_corpus_for(cfg, sample_rate, max_utts)
+    tok = get_tokenizer(cfg.vocab)
+    audio_b, label_b = resolve_buckets(cfg, corpus, tok)
     return BucketedDataset(
         corpus,
         batch_size=cfg.batch_size,
-        bucket_audio_lens=cfg.bucket_audio_lens,
-        bucket_label_lens=cfg.bucket_label_lens,
-        tokenizer=get_tokenizer(cfg.vocab),
+        bucket_audio_lens=audio_b,
+        bucket_label_lens=label_b,
+        tokenizer=tok,
     )
 
 
@@ -49,9 +64,11 @@ def build_grain_iterator(cfg: DataConfig, sample_rate: int,
     from pytorch_asr_tpu.data.grain_pipeline import GrainBucketedIterator
 
     corpus = load_corpus_for(cfg, sample_rate)
+    tok = get_tokenizer(cfg.vocab)
+    audio_b, label_b = resolve_buckets(cfg, corpus, tok)
     return GrainBucketedIterator(
-        corpus, tokenizer=get_tokenizer(cfg.vocab), batch_size=cfg.batch_size,
-        bucket_audio_lens=cfg.bucket_audio_lens,
-        bucket_label_lens=cfg.bucket_label_lens,
+        corpus, tokenizer=tok, batch_size=cfg.batch_size,
+        bucket_audio_lens=audio_b,
+        bucket_label_lens=label_b,
         seed=cfg.shuffle_seed, num_shards=num_shards, shard_index=shard_index,
         sortagrad=cfg.sortagrad)
