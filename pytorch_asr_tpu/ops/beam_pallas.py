@@ -57,7 +57,7 @@ def _onehot_rows(idx, n):
 def _beam_kernel(logp_ref, len_ref,
                  tokens_out, len_out, score_out,
                  tokens_sc, length_sc, pb_sc, pnb_sc, hash_sc, last_sc,
-                 *, tc: int, K: int, V: int, L: int, T: int, blank: int):
+                 *, tc: int, K: int, V: int, L: int, blank: int):
     ic = pl.program_id(0)
     n_chunks = pl.num_programs(0)
     B = len_ref.shape[0]
@@ -65,7 +65,6 @@ def _beam_kernel(logp_ref, len_ref,
     # Extension candidates are V-wide (char 0 = blank permanently NEG_INF):
     # Mosaic cannot lane-slice logp at offset 1, and a dead slot preserves
     # the stay-then-ext candidate ordering (tie-breaking parity with XLA).
-    N = K + K * V
     kf = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
 
     @pl.when(ic == 0)
@@ -255,7 +254,7 @@ def prefix_beam_fused(logits, logit_len, beam_size: int = 16, blank: int = 0,
     n_chunks = t_pad // tc
     logp_tbv = jnp.swapaxes(
         jnp.pad(logp, ((0, 0), (0, t_pad - T), (0, 0))), 0, 1)
-    kern = functools.partial(_beam_kernel, tc=tc, K=K, V=V, L=L, T=T,
+    kern = functools.partial(_beam_kernel, tc=tc, K=K, V=V, L=L,
                              blank=blank)
     tokens, lens, scores = pl.pallas_call(
         kern,
