@@ -388,3 +388,45 @@ def prefix_beam_search(
     lengths = jnp.take_along_axis(state.length, best[:, None], axis=1)[:, 0]
     scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
     return tokens, lengths, scores
+
+
+# ------------------------------------------------------------- streaming API
+def prefix_beam_init(B: int, beam_size: int, max_len: int) -> BeamState:
+    """Fresh beam state for ``prefix_beam_continue`` (streaming decode)."""
+    return _init_state(B, beam_size, max_len)
+
+
+def prefix_beam_continue(state: BeamState, logp: jax.Array,
+                         n_valid: jax.Array, *, blank: int = 0) -> BeamState:
+    """Advance the beam over ONE chunk of (B, Tc, V) log-softmax frames.
+
+    ``n_valid`` (B,): frames of this chunk to consume per row (trailing
+    frames are frozen).  Because the offline search is a lax.scan of the
+    SAME step function, feeding an utterance chunk-by-chunk through this is
+    bitwise identical to ``prefix_beam_search`` on the concatenation — the
+    streaming-beam parity contract (decoding/streaming.py, beam mode).
+    """
+    B, Tc, V = logp.shape
+    K = state.pb.shape[1]
+    L = state.tokens.shape[2]
+    step = partial(_step, blank=blank, vocab=V, lm_table=None, lm_alpha=0.0,
+                   lm_beta=0.0, lm_order=3, K=K, L=L)
+
+    def scan_fn(st, inp):
+        t, logp_t = inp
+        new_st, _ = step(st, logp_t, t < n_valid)
+        return new_st, None
+
+    state, _ = jax.lax.scan(
+        scan_fn, state, (jnp.arange(Tc), jnp.swapaxes(logp, 0, 1)))
+    return state
+
+
+def beam_best(state: BeamState):
+    """(tokens (B, L), lengths (B,), scores (B,)) of the current best beam."""
+    final = _lse(state.pb, state.pnb) + state.lm_s
+    best = jnp.argmax(final, axis=1)
+    tokens = jnp.take_along_axis(state.tokens, best[:, None, None], axis=1)[:, 0]
+    lengths = jnp.take_along_axis(state.length, best[:, None], axis=1)[:, 0]
+    scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+    return tokens, lengths, scores

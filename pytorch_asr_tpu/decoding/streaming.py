@@ -17,7 +17,10 @@ no recompiles), with ALL sequential state carried as device arrays in a
     are bit-compatible with the offline encoder;
   * per-LSTM-layer (h, c) carries;
   * the previous argmax token, so greedy CTC collapse works across chunk
-    boundaries.
+    boundaries — or, in ``mode="beam"``, the full prefix-beam ``BeamState``
+    (token buffers, (p_blank, p_nonblank), hashes), making chunked beam
+    decoding BITWISE equal to the offline ``prefix_beam_search``; beam mode
+    emits the current full best prefix per block (hypotheses may revise).
 
 Raw samples buffer on host (a numpy ring buffer, cheap); everything from
 framing onward runs on device.  The step emits left-packed new token ids per
@@ -54,9 +57,11 @@ class StreamState:
     lstm_h: tuple            # per lstm layer: (B, H) f32
     lstm_c: tuple            # per lstm layer: (B, H) f32
     prev_tok: jax.Array      # (B,) int32 — last argmax frame (incl. blank)
+    beam: Any = None         # decoding.prefix_beam.BeamState (beam mode)
 
     def tree_flatten(self):
-        return ((self.conv_ctx, self.lstm_h, self.lstm_c, self.prev_tok), None)
+        return ((self.conv_ctx, self.lstm_h, self.lstm_c, self.prev_tok,
+                 self.beam), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -79,7 +84,8 @@ def _check_streamable(cfg: ExperimentConfig) -> BiLSTMEncoderConfig:
     return enc
 
 
-def init_stream_state(cfg: ExperimentConfig, batch_size: int) -> StreamState:
+def init_stream_state(cfg: ExperimentConfig, batch_size: int,
+                      beam: bool = False) -> StreamState:
     """Zero state == the causal left padding / zero-initial LSTM offline."""
     enc = _check_streamable(cfg)
     kt, kf = enc.conv_kernel
@@ -94,11 +100,18 @@ def init_stream_state(cfg: ExperimentConfig, batch_size: int) -> StreamState:
         chans = ch
     H = enc.hidden_dim
     zeros = lambda: jnp.zeros((batch_size, H), jnp.float32)
+    beam_state = None
+    if beam:
+        from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_init
+
+        beam_state = prefix_beam_init(batch_size, cfg.decode.beam_size,
+                                      cfg.decode.max_decode_len)
     return StreamState(
         conv_ctx=tuple(conv_ctx),
         lstm_h=tuple(zeros() for _ in range(enc.num_layers)),
         lstm_c=tuple(zeros() for _ in range(enc.num_layers)),
         prev_tok=jnp.full((batch_size,), -1, jnp.int32),
+        beam=beam_state,
     )
 
 
@@ -208,10 +221,26 @@ def _stream_step(static, params, state: StreamState, samples, n_frames):
         mask = jnp.arange(T)[None, :] < lengths[:, None]
         x = jnp.where(mask[..., None], x, 0.0).astype(dtype)
 
-    # --- CTC head + cross-chunk greedy collapse
+    # --- CTC head
     head = params["ctc_head"]
     logits = (x @ head["kernel"].astype(dtype) + head["bias"].astype(dtype)
               ).astype(jnp.float32)                       # (B, T, V)
+
+    if state.beam is not None:
+        # --- cross-chunk PREFIX BEAM: the carried BeamState makes chunked
+        # decoding bitwise equal to the offline beam over the full utterance.
+        from pytorch_asr_tpu.decoding.prefix_beam import (
+            beam_best, prefix_beam_continue)
+
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        new_beam = prefix_beam_continue(state.beam, logp, lengths)
+        toks, n_ids, _ = beam_best(new_beam)
+        new_state = StreamState(conv_ctx=tuple(new_ctx), lstm_h=tuple(new_h),
+                                lstm_c=tuple(new_c), prev_tok=state.prev_tok,
+                                beam=new_beam)
+        return new_state, toks, n_ids
+
+    # --- cross-chunk greedy collapse
     best = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     vmask = jnp.arange(T)[None, :] < lengths[:, None]
     prev = jnp.concatenate([state.prev_tok[:, None], best[:, :-1]], axis=1)
@@ -248,7 +277,11 @@ class StreamingRecognizer:
     """
 
     def __init__(self, params: Any, cfg: ExperimentConfig,
-                 batch_size: int, block_frames: int = 16):
+                 batch_size: int, block_frames: int = 16,
+                 mode: str = "greedy"):
+        if mode not in ("greedy", "beam"):
+            raise ValueError(f"unknown streaming mode {mode!r}")
+        self.mode = mode
         enc = _check_streamable(cfg)
         total_stride = 1
         for _ in enc.conv_channels:
@@ -266,9 +299,11 @@ class StreamingRecognizer:
         self.reset()
 
     def reset(self) -> None:
-        self.state = init_stream_state(self.cfg, self.batch_size)
+        self.state = init_stream_state(self.cfg, self.batch_size,
+                                       beam=self.mode == "beam")
         self._buf = np.zeros((self.batch_size, 0), np.float32)
         self._finished = False
+        self._best: list[list[int]] = [[] for _ in range(self.batch_size)]
 
     def _run_block(self, samples: np.ndarray, n_frames: int) -> list[list[int]]:
         state, ids, n = _stream_step(
@@ -287,26 +322,37 @@ class StreamingRecognizer:
         if chunk.ndim != 2 or chunk.shape[0] != self.batch_size:
             raise ValueError(f"expected ({self.batch_size}, S) chunk")
         self._buf = np.concatenate([self._buf, chunk], axis=1)
-        out = [[] for _ in range(self.batch_size)]
+        out = [[] for b in range(self.batch_size)]
         while self._buf.shape[1] >= self._need:
             got = self._run_block(self._buf[:, :self._need],
                                   self.block_frames)
             self._buf = self._buf[:, self._advance:]
-            for b in range(self.batch_size):
-                out[b].extend(got[b])
+            if self.mode == "beam":
+                # beam hypotheses may revise earlier output: each block
+                # yields the CURRENT FULL best prefix per stream.
+                self._best = got
+                out = got
+            else:
+                for b in range(self.batch_size):
+                    out[b].extend(got[b])
         return out
 
     def finish(self) -> list[list[int]]:
         """Drain whole frames still in the buffer (offline framing drops any
         tail shorter than one window, so we do too)."""
         if self._finished:
-            return [[] for _ in range(self.batch_size)]
+            return ([[] for _ in range(self.batch_size)]
+                    if self.mode == "greedy" else self._best)
         self._finished = True
         fe = self.cfg.frontend
         n_samples = self._buf.shape[1]
         n_frames = max(0, (n_samples - fe.win_length) // fe.hop_length + 1)
         if n_frames == 0:
-            return [[] for _ in range(self.batch_size)]
+            return ([[] for _ in range(self.batch_size)]
+                    if self.mode == "greedy" else self._best)
         samples = np.zeros((self.batch_size, self._need), np.float32)
         samples[:, :n_samples] = self._buf
-        return self._run_block(samples, n_frames)
+        got = self._run_block(samples, n_frames)
+        if self.mode == "beam":
+            self._best = got
+        return got

@@ -151,3 +151,48 @@ def test_streaming_rejects_non_streamable():
     _, params = _init_model(cfg)
     with pytest.raises(ValueError, match="multiple"):
         StreamingRecognizer(params, cfg, batch_size=1, block_frames=6)
+
+
+# --------------------------------------------------------------- beam mode
+@pytest.mark.parametrize("chunk_samples", [3200, 7680])
+def test_streaming_beam_matches_offline_beam(chunk_samples):
+    """Chunked prefix-beam decoding == offline prefix_beam_search, bitwise:
+    the carried BeamState makes the chunked scan the same computation."""
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+
+    cfg = _streaming_cfg()
+    cfg = dataclasses.replace(
+        cfg, decode=DecodeConfig(method="prefix_beam", beam_size=4,
+                                 max_decode_len=48))
+    model, params = _init_model(cfg, key=3)
+    rng = np.random.default_rng(5)
+    B, S = 2, 3 * 16000
+    audio = (rng.standard_normal((B, S)) * 0.3).astype(np.float32)
+    lens = jnp.asarray([S, S], jnp.int32)
+
+    # offline reference: full-utterance logits -> offline beam
+    out = model.apply({"params": params}, jnp.asarray(audio), lens)
+    t_ref, n_ref, s_ref = prefix_beam_search(
+        out["ctc_logits"], out["enc_len"], beam_size=4, max_len=48,
+        use_fused=False)
+
+    rec = StreamingRecognizer(params, cfg, batch_size=B, mode="beam")
+    best = [[] for _ in range(B)]
+    for off in range(0, S, chunk_samples):
+        got = rec.accept(audio[:, off:off + chunk_samples])
+        if any(got):
+            best = got
+    final = rec.finish()
+    if any(final):
+        best = final
+
+    for b in range(B):
+        want = np.asarray(t_ref)[b, : int(n_ref[b])].tolist()
+        assert best[b] == want, (b, best[b], want)
+
+
+def test_streaming_beam_mode_validates():
+    cfg = _streaming_cfg()
+    _, params = _init_model(cfg)
+    with pytest.raises(ValueError, match="mode"):
+        StreamingRecognizer(params, cfg, batch_size=1, mode="joint")
