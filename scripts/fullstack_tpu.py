@@ -39,7 +39,7 @@ def main() -> None:
         "model.decoder.attention_dim": "64",
         "model.decoder.scheduled_sampling": "0.25",
         "model.decoder.ss_ramp_steps": str(max(steps // 2, 1)),
-        "train.accum_steps": "2",
+        "train.optim.accum_steps": "2",
         "train.ema_decay": "0.999",
         "train.optim.schedule": "cosine",
         "train.optim.peak_lr": "2e-3",
