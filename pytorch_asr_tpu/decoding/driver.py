@@ -72,6 +72,17 @@ def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None,
     has_lm = (lm_table is not None or rnn_lm is not None
               or hash_lm is not None)
 
+    if method == "greedy":
+        from pytorch_asr_tpu.decoding.greedy import greedy_ctc
+
+        @jax.jit
+        def decode_fn(params, batch):
+            out = model.apply({"params": params}, batch["audio"],
+                              batch["audio_len"], train=False)
+            return greedy_ctc(out["ctc_logits"], out["enc_len"])
+
+        return decode_fn
+
     if method == "prefix_beam":
         shard = (cfg.decode.shard_beams
                  and trainer.mesh.shape.get("model", 1) > 1)

@@ -119,3 +119,39 @@ def test_checkpoint_dir_mismatch_guard(tmp_path):
 
     # Same config is fine.
     CheckpointManager(cfg, directory=d).close()
+
+
+def test_decode_dataset_greedy_direct():
+    """decode_dataset with method='greedy' works when called directly
+    (regression: make_decode_fn only knew the beam methods; the greedy
+    branch lived solely in Trainer.decode_eval)."""
+    import dataclasses
+
+    from pytorch_asr_tpu.configs import get_config
+    from pytorch_asr_tpu.configs.base import (
+        BiLSTMEncoderConfig, DataConfig, DecodeConfig, FrontendConfig,
+        ModelConfig, OptimConfig, TrainConfig)
+    from pytorch_asr_tpu.data import BucketedDataset, synthetic_corpus
+    from pytorch_asr_tpu.decoding.driver import decode_dataset
+    from pytorch_asr_tpu.training.trainer import Trainer
+
+    cfg = get_config("ctc_bilstm_dev1h")
+    cfg = dataclasses.replace(
+        cfg,
+        frontend=FrontendConfig(use_pallas=False, specaugment=False),
+        data=DataConfig(batch_size=4, bucket_audio_lens=(24000,),
+                        bucket_label_lens=(24,)),
+        model=ModelConfig(encoder=BiLSTMEncoderConfig(
+            conv_channels=(4,), hidden_dim=16, num_layers=1, dropout=0.0,
+            use_pallas=False), compute_dtype="float32"),
+        train=TrainConfig(optim=OptimConfig(warmup_steps=5, total_steps=20)),
+        decode=DecodeConfig(method="greedy"),
+    )
+    corpus = synthetic_corpus(4, 16000, seed=0, min_words=1, max_words=1)
+    data = BucketedDataset(corpus, batch_size=4,
+                           bucket_audio_lens=cfg.data.bucket_audio_lens,
+                           bucket_label_lens=cfg.data.bucket_label_lens)
+    tr = Trainer(cfg, dataset=data, enable_checkpoints=False)
+    res = decode_dataset(tr)
+    assert res["method"] == "greedy"
+    assert res["num_utts"] == 4 and res["wer"] >= 0.0
