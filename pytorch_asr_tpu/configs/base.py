@@ -85,6 +85,12 @@ class BiLSTMEncoderConfig:
     # input frames <= t and chunked inference can carry exact state.
     bidirectional: bool = True
     causal_conv: bool = False
+    # Direction-sharded tensor parallelism (mesh model axis == 2): each model
+    # shard runs ONE direction's fully-fused Pallas kernel under shard_map;
+    # outputs concatenate over the hidden dim sharded on 'model'.  One
+    # activation collective per layer, zero per-step exchanges.  Set by the
+    # Trainer when mesh.model_axis == 2 and use_pallas is on.
+    tp_directions: bool = False
 
 
 @dataclass(frozen=True)

@@ -73,13 +73,20 @@ class LSTMDirection(nn.Module):
     use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, lengths: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, lengths: jax.Array,
+                 return_params: bool = False):
         B, T, D = x.shape
         H = self.hidden_dim
         wih = self.param("wih", nn.initializers.xavier_uniform(), (D, 4 * H), jnp.float32)
         whh = self.param("whh", nn.initializers.orthogonal(), (H, 4 * H), jnp.float32)
         # Forget-gate bias 1.0 (standard LSTM training stabilizer).
         b = self.param("bias", _lstm_bias_init, (4 * H,), jnp.float32)
+        if return_params:
+            # Direction-sharded TP (see _bilstm_tp_directions) computes both
+            # directions in ONE shard_map; this call only materializes the
+            # parameters under their canonical paths (checkpoint/torch-import
+            # layout is unchanged).
+            return wih, whh, b
 
         from pytorch_asr_tpu.ops.runtime import pallas_active
 
@@ -114,6 +121,44 @@ class LSTMDirection(nn.Module):
             out = jnp.swapaxes(hs, 0, 1)                       # (B, T, H)
         mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
         return jnp.where(mask, out, 0.0).astype(self.dtype)
+
+
+def _bilstm_tp_directions(x, params_fwd, params_bwd, lengths, mesh, dt):
+    """Direction-sharded tensor parallelism for one BiLSTM layer.
+
+    The gate-dim TP layout (parallel/sharding.py RULES) cannot host the fused
+    Pallas kernel: the recurrence needs the full (H, 4H) weights each step, so
+    sharding 4H forces per-step collectives.  A BiLSTM has a better axis — the
+    two DIRECTIONS are fully independent over the whole sequence.  With mesh
+    model axis == 2, model shard 0 runs the forward kernel and shard 1 the
+    reverse kernel, each over its local 'data' batch shard; the outputs
+    concatenate over the hidden dim sharded on 'model' (fwd = columns [0, H),
+    matching ``concatenate([fwd, bwd], -1)``).  Communication: GSPMD
+    all-gathers the (B, T, 2H) layer output once at the next layer's input —
+    zero exchanges inside the recurrence.  Weight tensors stay replicated at
+    rest (they are small; activations and compute are what shard).
+
+    Gradients flow through the shard_map transpose: dx psums over 'model'
+    (dx_fwd + dx_bwd), weight cotangents land per-direction.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from pytorch_asr_tpu.ops.lstm_pallas import lstm_seq
+
+    wih = jnp.stack([params_fwd[0].astype(dt), params_bwd[0].astype(dt)])
+    whh = jnp.stack([params_fwd[1], params_bwd[1]])
+    bias = jnp.stack([params_fwd[2], params_bwd[2]])
+
+    def body(xb, W, U, bv, lenb):
+        run = lambda rev: lstm_seq(xb, W[0], U[0], bv[0], lenb, rev, dt)  # noqa: E731
+        return jax.lax.cond(jax.lax.axis_index("model") == 0,
+                            lambda: run(False), lambda: run(True))
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data"), P("model"), P("model"), P("model"), P("data")),
+        out_specs=P("data", None, "model"), check_vma=False)
+    return fn(x.astype(dt), wih, whh, bias, lengths)
 
 
 def _lstm_bias_init(key, shape, dtype=jnp.float32):
@@ -205,17 +250,33 @@ class BiLSTMEncoder(nn.Module):
         H = self.cfg.hidden_dim
         use_pallas = getattr(self.cfg, "use_pallas", True)
         bidi = getattr(self.cfg, "bidirectional", True)
+        from pytorch_asr_tpu.ops.runtime import pallas_active
+        from pytorch_asr_tpu.parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        tp_dirs = (getattr(self.cfg, "tp_directions", False) and bidi
+                   and use_pallas and pallas_active() and mesh is not None
+                   and mesh.shape.get("model", 1) == 2)
         for layer in range(self.cfg.num_layers):
-            fwd = LSTMDirection(H, reverse=False, dtype=self.dtype,
-                                use_pallas=use_pallas,
-                                name=f"lstm{layer}_fwd")(x, lengths)
-            if bidi:
+            fwd_mod = LSTMDirection(H, reverse=False, dtype=self.dtype,
+                                    use_pallas=use_pallas,
+                                    name=f"lstm{layer}_fwd")
+            if tp_dirs:
+                pf = fwd_mod(x, lengths, return_params=True)
+                pb = LSTMDirection(H, reverse=True, dtype=self.dtype,
+                                   use_pallas=use_pallas,
+                                   name=f"lstm{layer}_bwd")(
+                                       x, lengths, return_params=True)
+                x = _bilstm_tp_directions(x, pf, pb, lengths, mesh,
+                                          jnp.dtype(self.dtype))
+            elif bidi:
+                fwd = fwd_mod(x, lengths)
                 bwd = LSTMDirection(H, reverse=True, dtype=self.dtype,
                                     use_pallas=use_pallas,
                                     name=f"lstm{layer}_bwd")(x, lengths)
                 x = jnp.concatenate([fwd, bwd], axis=-1)
             else:
-                x = fwd
+                x = fwd_mod(x, lengths)
             if self.cfg.dropout > 0:
                 x = nn.Dropout(self.cfg.dropout, deterministic=not train)(x)
         return x, lengths

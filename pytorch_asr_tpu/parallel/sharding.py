@@ -47,23 +47,37 @@ RULES: tuple[tuple[str, int, P], ...] = (
     (r"encoder/.*block\d+/w_point$", 2, P("model", None)),
 )
 
-_COMPILED = tuple((re.compile(rx), nd, spec) for rx, nd, spec in RULES)
+# Direction-sharded TP (models/encoder_bilstm.py::_bilstm_tp_directions):
+# each model shard runs one direction's FUSED Pallas kernel, so LSTM weight
+# tensors stay whole (replicated at rest; the shard_map boundary slices the
+# stacked (2, D, 4H) per-direction — a local, free reshard).  Only the
+# non-recurrent rules remain.
+DIRECTION_TP_RULES: tuple[tuple[str, int, P], ...] = tuple(
+    r for r in RULES if "lstm" not in r[0])
+
+
+def _compiled(rules):
+    return tuple((re.compile(rx), nd, spec) for rx, nd, spec in rules)
+
+
+_COMPILED = _compiled(RULES)
 
 
 def _path_str(path: tuple) -> str:
     return "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
 
 
-def spec_for(path_str: str, ndim: int) -> P:
+def spec_for(path_str: str, ndim: int, rules=None) -> P:
     """PartitionSpec for one parameter (or optimizer-state mirror) path."""
-    for rx, nd, spec in _COMPILED:
+    compiled = _COMPILED if rules is None else _compiled(rules)
+    for rx, nd, spec in compiled:
         if nd == ndim and rx.search(path_str):
             return spec
     return P()
 
 
-def _sharding(path, value, mesh: Mesh) -> NamedSharding:
-    spec = spec_for(_path_str(path), getattr(value, "ndim", 0))
+def _sharding(path, value, mesh: Mesh, rules=None) -> NamedSharding:
+    spec = spec_for(_path_str(path), getattr(value, "ndim", 0), rules)
     # Only shard dims that divide evenly; fall back to replication.
     for dim, axis in enumerate(spec):
         if axis is not None and value.shape[dim] % mesh.shape[axis] != 0:
@@ -71,27 +85,27 @@ def _sharding(path, value, mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
-def param_shardings(tree, mesh: Mesh):
+def param_shardings(tree, mesh: Mesh, rules=None):
     """Pytree of NamedShardings implementing the TP layout above.
 
     Works on the parameter tree AND on optimizer-state trees (whose leaf
     paths embed the parameter path).
     """
     return jax.tree_util.tree_map_with_path(
-        lambda p, v: _sharding(p, v, mesh), tree)
+        lambda p, v: _sharding(p, v, mesh, rules), tree)
 
 
-def shard_params_tp(tree, mesh: Mesh):
+def shard_params_tp(tree, mesh: Mesh, rules=None):
     """Place parameters (or optimizer state) per the TP layout."""
-    return jax.tree.map(jax.device_put, tree, param_shardings(tree, mesh))
+    return jax.tree.map(jax.device_put, tree, param_shardings(tree, mesh, rules))
 
 
-def describe_shardings(tree, mesh: Mesh) -> dict[str, tuple]:
+def describe_shardings(tree, mesh: Mesh, rules=None) -> dict[str, tuple]:
     """{param path: partition spec tuple} for every NON-replicated leaf."""
     out: dict[str, tuple] = {}
 
     def visit(path, value):
-        sh = _sharding(path, value, mesh)
+        sh = _sharding(path, value, mesh, rules)
         if tuple(sh.spec) and any(a is not None for a in tuple(sh.spec)):
             out[_path_str(path)] = tuple(sh.spec)
         return value

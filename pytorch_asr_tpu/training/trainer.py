@@ -68,15 +68,33 @@ class Trainer:
                 cfg.data, cfg.frontend.sample_rate, shards, idx)
         self.mesh = make_mesh(cfg.mesh, batch_size=cfg.data.batch_size)
         self.tensor_parallel = self.mesh.shape["model"] > 1
+        self.tp_directions = False
         if self.tensor_parallel and getattr(cfg.model.encoder, "use_pallas", False):
-            # The fused Pallas LSTM kernel requires the full (D, 4H) weights
-            # per device; under tensor parallelism the gate dim is sharded, so
-            # the recurrence runs the lax.scan path, which GSPMD partitions.
             import dataclasses
 
-            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-                cfg.model, encoder=dataclasses.replace(
-                    cfg.model.encoder, use_pallas=False)))
+            from pytorch_asr_tpu.ops.runtime import pallas_active
+
+            enc = cfg.model.encoder
+            if (self.mesh.shape["model"] == 2 and pallas_active()
+                    and getattr(enc, "kind", "") == "bilstm"
+                    and getattr(enc, "bidirectional", True)):
+                # Direction-sharded TP: each model shard runs ONE direction's
+                # fully-fused Pallas kernel (encoder_bilstm.py::
+                # _bilstm_tp_directions) — the fast path SURVIVES the model
+                # axis.  LSTM weights stay replicated at rest
+                # (DIRECTION_TP_RULES); activations/compute shard.
+                self.tp_directions = True
+                cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                    cfg.model, encoder=dataclasses.replace(
+                        enc, tp_directions=True)))
+            else:
+                # Gate-dim TP (model axis > 2, or no bidirectional pair to
+                # shard): the fused kernel needs the full (D, 4H) weights per
+                # device, so the recurrence runs the lax.scan path, which
+                # GSPMD partitions over the sharded gate dim.
+                cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                    cfg.model, encoder=dataclasses.replace(
+                        enc, use_pallas=False)))
             self.cfg = cfg
         self.model = build_model(cfg, self.tokenizer)
         # Only the primary host writes metrics/TB (reference: rank-0 logging);
@@ -103,11 +121,15 @@ class Trainer:
         # optimizer state and EMA weights mirror the parameter layout -- their
         # tree paths embed the parameter path, so the same rules apply.
         if self.tensor_parallel:
-            place = lambda t: shard_params_tp(t, self.mesh)  # noqa: E731
+            from pytorch_asr_tpu.parallel.sharding import DIRECTION_TP_RULES
+
+            rules = DIRECTION_TP_RULES if self.tp_directions else None
+            place = lambda t: shard_params_tp(t, self.mesh, rules)  # noqa: E731
             self.metrics.log(
                 "mesh", layout=dict(self.mesh.shape),
+                tp_mode="directions" if self.tp_directions else "gate_dims",
                 sharded_params=sorted(
-                    describe_shardings(self.state.params, self.mesh)))
+                    describe_shardings(self.state.params, self.mesh, rules)))
         else:
             place = lambda t: shard_params(self.mesh, t)  # noqa: E731
         self.state = self.state.replace(
