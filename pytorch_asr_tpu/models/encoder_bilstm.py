@@ -254,8 +254,9 @@ class BiLSTMEncoder(nn.Module):
         from pytorch_asr_tpu.parallel.mesh import active_mesh
 
         mesh = active_mesh()
+        pallas_on = use_pallas and pallas_active()
         tp_dirs = (getattr(self.cfg, "tp_directions", False) and bidi
-                   and use_pallas and pallas_active() and mesh is not None
+                   and pallas_on and mesh is not None
                    and mesh.shape.get("model", 1) == 2)
         for layer in range(self.cfg.num_layers):
             fwd_mod = LSTMDirection(H, reverse=False, dtype=self.dtype,

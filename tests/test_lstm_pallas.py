@@ -149,3 +149,58 @@ def test_lstm_pallas_grad_bf16_residuals(reverse):
     for name, a, b in zip(("dx", "dwih", "dwhh", "dbias"), g16, g32):
         scale = np.abs(np.asarray(b)).max() + 1e-6
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 0.03, name
+
+
+# ---------------------------------------------------------------- dual kernel
+# The dual-direction kernel is a recorded DESIGN STUDY (see the section note
+# in ops/lstm_pallas.py): production uses the single-direction pair; these
+# tests pin that the study kernel remains EXACTLY equivalent to it.
+
+
+def _dual_case(seed, B=4, T=37, D=12, H=16):
+    x, wf, uf, bf, lengths = _case(seed, B=B, T=T, D=D, H=H)
+    _, wb, ub, bb, _ = _case(seed + 100, B=B, T=T, D=D, H=H)
+    return x, (wf, uf, bf), (wb, ub, bb), lengths
+
+
+def test_bilstm_dual_forward_bit_exact():
+    from pytorch_asr_tpu.ops.lstm_pallas import bilstm_seq
+
+    x, (wf, uf, bf), (wb, ub, bb), lengths = _dual_case(0)
+    with pltpu.force_tpu_interpret_mode():
+        f = lstm_seq(x, wf, uf, bf, lengths, False, jnp.float32, jnp.float32)
+        b = lstm_seq(x, wb, ub, bb, lengths, True, jnp.float32, jnp.float32)
+        pair = jnp.concatenate([f, b], axis=-1)
+        dual = bilstm_seq(x, jnp.stack([wf, wb]), jnp.stack([uf, ub]),
+                          jnp.stack([bf, bb]), lengths,
+                          jnp.float32, jnp.float32)
+    assert np.array_equal(np.asarray(pair), np.asarray(dual))
+
+
+def test_bilstm_dual_grads_bit_exact():
+    from pytorch_asr_tpu.ops.lstm_pallas import bilstm_seq
+
+    x, (wf, uf, bf), (wb, ub, bb), lengths = _dual_case(1, B=2, T=24, D=8, H=8)
+    g = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, 24, 16)).astype(np.float32))
+
+    def pair_loss(x_, wf_, uf_, bf_, wb_, ub_, bb_):
+        f = lstm_seq(x_, wf_, uf_, bf_, lengths, False, jnp.float32,
+                     jnp.float32)
+        b = lstm_seq(x_, wb_, ub_, bb_, lengths, True, jnp.float32,
+                     jnp.float32)
+        return jnp.sum(jnp.concatenate([f, b], -1) * g)
+
+    def dual_loss(x_, wf_, uf_, bf_, wb_, ub_, bb_):
+        o = bilstm_seq(x_, jnp.stack([wf_, wb_]), jnp.stack([uf_, ub_]),
+                       jnp.stack([bf_, bb_]), lengths, jnp.float32,
+                       jnp.float32)
+        return jnp.sum(o * g)
+
+    args = (x, wf, uf, bf, wb, ub, bb)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(pair_loss, argnums=tuple(range(7)))(*args)
+        gd = jax.grad(dual_loss, argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(("dx", "dwf", "duf", "dbf", "dwb", "dub", "dbb"),
+                          gp, gd):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
