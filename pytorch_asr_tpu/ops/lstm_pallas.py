@@ -141,7 +141,8 @@ def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
                 dx_ref, dwih_ref, dwhh_ref, db_ref,
                 dh_sc, dc_sc, dwih_sc, dwhh_sc, db_sc,
                 hp_sc, cp_sc, tanh_sc, gt_sc, dg_sc,
-                *, tc: int, H: int, n_chunks: int, reverse: bool):
+                *, tc: int, H: int, n_chunks: int, reverse: bool,
+                t_total: int | None = None):
     """Single reverse walk over stored residuals -- no forward recompute.
 
     Processing-order 'previous' state sequences are built vectorized:
@@ -149,6 +150,14 @@ def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
               shifted by one processing step; chunk boundary from c0)
       hp[j] = h entering that step = o_prev * tanh(c_prev) at valid steps
               (garbage at invalid steps is harmless: dgates rows are zero).
+
+    ``t_total``: set when the grid's last block is PARTIAL (unpadded T not a
+    tc multiple).  Rows at t >= t_total come from out-of-bounds loads whose
+    bits are undefined; the dgates mask (t < end) already zeroes their direct
+    contribution, but two matmuls multiply potentially-non-finite garbage by
+    those zero rows (NaN * 0 = NaN): x rows into dwih and h_prev rows into
+    dwhh.  Both are zero-sanitized here; everything else flows through value
+    SELECTS, which do not propagate the unselected operand.
     """
     ic = pl.program_id(0)
     B = dh_sc.shape[0]
@@ -181,6 +190,10 @@ def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
         hp_sc[1:tc] = h_all[0:tc - 1]
         cp_sc[0] = c0_ref[0]
         cp_sc[1:tc] = ct[0:tc - 1]
+    if t_total is not None:
+        rows = chunk * tc + jax.lax.broadcasted_iota(
+            jnp.int32, (tc, 1, 1), 0)
+        hp_sc[:] = jnp.where(rows < t_total, hp_sc[:], 0.0)
     whh_t = whh_t_ref[:]
     end = end_ref[:]
 
@@ -214,6 +227,10 @@ def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
     dc_sc[:] = dc
 
     xb = x_ref[:]                                        # (B, tc, D)
+    if t_total is not None:
+        rows_x = chunk * tc + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tc, 1), 1)
+        xb = jnp.where(rows_x < t_total, xb, 0.0)
     D = xb.shape[-1]
     x_tb = jnp.swapaxes(xb, 0, 1).reshape(tc * B, D)
     dgs = dg_sc[:].reshape(tc * B, 4 * H)
@@ -271,12 +288,28 @@ def lstm_seq(x, wih, whh, bias, lengths, reverse=False, out_dtype=None,
     return hs
 
 
+def _chunking(B: int, T: int) -> tuple[int, int, int]:
+    """(tc, t_pad, n_chunks) for a T-step sequence.
+
+    T >= tc runs UNPADDED: the grid's last block is partial (Mosaic masks
+    partial stores; OOB loads are sanitized in the backward — see
+    ``t_total``).  Padding x/ghs to a tc multiple cost ~0.8 ms/step of pure
+    HBM copies at the bench shape (measured via the per-op profile).  Only
+    tiny sequences (T < tc) still pad, to the sublane multiple.
+    """
+    tc = _pick_tc(B)
+    if T < tc:
+        t_pad = _round_up(T, 8)
+        tc = t_pad
+    else:
+        t_pad = T
+    return tc, t_pad, -(-t_pad // tc)
+
+
 def _fwd_impl(x, wih, whh, bias, lengths, reverse, out_dtype, residual_dtype, save_residuals):
     B, T, D = x.shape
     H = whh.shape[0]
-    tc = _pick_tc(B)
-    t_pad = _round_up(T, tc)
-    n_chunks = t_pad // tc
+    tc, t_pad, n_chunks = _chunking(B, T)
     xp = _pad_time(x, t_pad)
     end = lengths.astype(jnp.int32)[:, None]
     idx = (lambda i: (0, n_chunks - 1 - i, 0)) if reverse else \
@@ -358,9 +391,8 @@ def _vjp_bwd(reverse, out_dtype, residual_dtype, res, g_hs):
     x, wih, whh, bias, lengths, h0, c0, acts, ct = res
     B, T, D = x.shape
     H = whh.shape[0]
-    tc = _pick_tc(B)
-    t_pad = acts.shape[0]
-    n_chunks = t_pad // tc
+    tc, t_pad, n_chunks = _chunking(B, T)
+    assert t_pad == acts.shape[0]
     xp = _pad_time(x, t_pad)
     ghs = _pad_time(g_hs.astype(jnp.float32), t_pad)
     end = lengths.astype(jnp.int32)[:, None]
@@ -374,7 +406,8 @@ def _vjp_bwd(reverse, out_dtype, residual_dtype, res, g_hs):
     snap_idx = (lambda i: (i, 0, 0)) if reverse else \
                (lambda i: (n_chunks - 1 - i, 0, 0))
     kern = functools.partial(_bwd_kernel, tc=tc, H=H, n_chunks=n_chunks,
-                             reverse=reverse)
+                             reverse=reverse,
+                             t_total=t_pad if t_pad % tc else None)
     dx, dwih, dwhh, db = pl.pallas_call(
         kern,
         grid=(n_chunks,),
