@@ -103,8 +103,18 @@ def pipeline_bench(measure_steps: int = 20):
         build_model, init_train_state, make_train_step)
 
     B = int(os.environ.get("ASR_BENCH_PIPE_BATCH", "64"))
-    buckets_a = (96000, 224000)              # 6 / 14 s (each = one XLA compile)
-    buckets_l = (144, 320)
+    # LibriSpeech-like duration mix: most utterances 3-14 s.
+    corpus = synthetic_corpus(256, SAMPLE_RATE, seed=0,
+                              min_sec=3.0, max_sec=13.0)
+    # Bucket ladder from the corpus length profile (data/bucket_opt.py, the
+    # data.auto_buckets production path): DP-minimal padding waste at a fixed
+    # compile budget (each bucket is one XLA compilation).
+    from pytorch_asr_tpu.data.bucket_opt import optimize_buckets
+
+    n_buckets = int(os.environ.get("ASR_BENCH_PIPE_BUCKETS", "3"))
+    buckets_a, buckets_l = optimize_buckets(
+        [len(audio) for audio, _ in corpus],
+        [len(text) for _, text in corpus], n_buckets)
     cfg = get_config("ctc_bilstm_dev1h")
     cfg = dataclasses.replace(
         cfg,
@@ -112,9 +122,6 @@ def pipeline_bench(measure_steps: int = 20):
         data=DataConfig(batch_size=B, bucket_audio_lens=buckets_a,
                         bucket_label_lens=buckets_l),
     )
-    # LibriSpeech-like duration mix: most utterances 3-14 s.
-    corpus = synthetic_corpus(256, SAMPLE_RATE, seed=0,
-                              min_sec=3.0, max_sec=13.0)
     it = GrainBucketedIterator(corpus, batch_size=B,
                                bucket_audio_lens=buckets_a,
                                bucket_label_lens=buckets_l, seed=0)
