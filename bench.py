@@ -103,18 +103,35 @@ def pipeline_bench(measure_steps: int = 20):
         build_model, init_train_state, make_train_step)
 
     B = int(os.environ.get("ASR_BENCH_PIPE_BATCH", "64"))
-    # LibriSpeech-like duration mix: most utterances 3-14 s.
-    corpus = synthetic_corpus(256, SAMPLE_RATE, seed=0,
-                              min_sec=3.0, max_sec=13.0)
+    # LibriSpeech-like duration mix: most utterances 3-14 s — materialized as
+    # a WAV tree and read back through the PRODUCTION lazy file-backed path
+    # (load_corpus -> LazyCorpus -> per-item decode in the prefetch thread),
+    # so the measured host pipeline includes real file IO + decode.
+    import tempfile
+
+    from pytorch_asr_tpu.data.librispeech import load_corpus
+    from pytorch_asr_tpu.data.synthetic import materialize_wav_tree
+
+    mem_corpus = synthetic_corpus(256, SAMPLE_RATE, seed=0,
+                                  min_sec=3.0, max_sec=13.0)
+    tree = tempfile.mkdtemp(prefix="asr_bench_wav_")
+    materialize_wav_tree(mem_corpus, tree, split="dev-clean",
+                         sample_rate=SAMPLE_RATE)
+    corpus = load_corpus(tree, "dev-clean")
     # Bucket ladder from the corpus length profile (data/bucket_opt.py, the
     # data.auto_buckets production path): DP-minimal padding waste at a fixed
-    # compile budget (each bucket is one XLA compilation).
+    # compile budget (each bucket is one XLA compilation).  Lengths come from
+    # headers only (no decode).
     from pytorch_asr_tpu.data.bucket_opt import optimize_buckets
 
-    n_buckets = int(os.environ.get("ASR_BENCH_PIPE_BUCKETS", "3"))
+    # Default K=6: the bucket-ladder study (scripts/bucket_ladder_study.py)
+    # puts the train profile at 0.92 padding efficiency there, vs 0.85 at
+    # K=3; each extra bucket costs one more ~30 s XLA compile, amortized
+    # once per run.
+    n_buckets = int(os.environ.get("ASR_BENCH_PIPE_BUCKETS", "6"))
     buckets_a, buckets_l = optimize_buckets(
-        [len(audio) for audio, _ in corpus],
-        [len(text) for _, text in corpus], n_buckets)
+        [int(n) for n in corpus.audio_lengths()],
+        [len(corpus.transcript(i)) for i in range(len(corpus))], n_buckets)
     cfg = get_config("ctc_bilstm_dev1h")
     cfg = dataclasses.replace(
         cfg,
@@ -124,7 +141,8 @@ def pipeline_bench(measure_steps: int = 20):
     )
     it = GrainBucketedIterator(corpus, batch_size=B,
                                bucket_audio_lens=buckets_a,
-                               bucket_label_lens=buckets_l, seed=0)
+                               bucket_label_lens=buckets_l, seed=0,
+                               prefetch=3)
     mesh = make_mesh(cfg.mesh, batch_size=B)
     first = next(it)
     model = build_model(cfg)

@@ -41,7 +41,8 @@ def ctc_bilstm_dev1h() -> ExperimentConfig:
     """BASELINE config 1: CTC-only conv+BiLSTM, greedy decode, dev-clean 1h, CPU-runnable."""
     return ExperimentConfig(
         name="ctc_bilstm_dev1h",
-        data=DataConfig(split="dev-clean-1h", batch_size=8, sortagrad=True),
+        data=DataConfig(split="dev-clean-1h", batch_size=8, sortagrad=True,
+                        auto_buckets=6),
         model=ModelConfig(encoder=BiLSTMEncoderConfig(hidden_dim=384, num_layers=3),
                           ctc_weight=1.0),
         decode=DecodeConfig(method="greedy"),
@@ -52,7 +53,8 @@ def ctc_bilstm_beam_lm() -> ExperimentConfig:
     """BASELINE config 2: CTC prefix beam search with n-gram LM shallow fusion."""
     return ExperimentConfig(
         name="ctc_bilstm_beam_lm",
-        data=DataConfig(split="dev-clean", batch_size=16, sortagrad=True),
+        data=DataConfig(split="dev-clean", batch_size=16, sortagrad=True,
+                        auto_buckets=6),
         model=ModelConfig(encoder=BiLSTMEncoderConfig(), ctc_weight=1.0),
         decode=DecodeConfig(method="prefix_beam", beam_size=16,
                             lm_alpha=0.5, lm_beta=1.0),
@@ -63,7 +65,8 @@ def tcn_ctc_devclean() -> ExperimentConfig:
     """BASELINE config 3: TCN (dilated temporal conv) encoder with CTC, full dev-clean."""
     return ExperimentConfig(
         name="tcn_ctc_devclean",
-        data=DataConfig(split="dev-clean", batch_size=16, sortagrad=True),
+        data=DataConfig(split="dev-clean", batch_size=16, sortagrad=True,
+                        auto_buckets=6),
         model=ModelConfig(encoder=TCNEncoderConfig(), ctc_weight=1.0),
         decode=DecodeConfig(method="prefix_beam", beam_size=16),
     )
@@ -73,7 +76,8 @@ def las_attention() -> ExperimentConfig:
     """BASELINE config 4: LAS attention encoder-decoder, teacher forcing + attention beam."""
     return ExperimentConfig(
         name="las_attention",
-        data=DataConfig(split="train-clean-100", batch_size=16, sortagrad=True),
+        data=DataConfig(split="train-clean-100", batch_size=16, sortagrad=True,
+                        auto_buckets=6),
         model=ModelConfig(encoder=BiLSTMEncoderConfig(),
                           decoder=LASDecoderConfig(),
                           ctc_weight=0.0),
@@ -85,7 +89,8 @@ def joint_ctc_attention_960h() -> ExperimentConfig:
     """BASELINE config 5: joint CTC/attention multitask + joint-score beam, 960h."""
     return ExperimentConfig(
         name="joint_ctc_attention_960h",
-        data=DataConfig(split="train-960", batch_size=32, sortagrad=True),
+        data=DataConfig(split="train-960", batch_size=32, sortagrad=True,
+                        auto_buckets=6),
         frontend=FrontendConfig(waveform_augment=True),
         model=ModelConfig(encoder=BiLSTMEncoderConfig(hidden_dim=640, num_layers=5),
                           decoder=LASDecoderConfig(),

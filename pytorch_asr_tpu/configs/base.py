@@ -59,8 +59,16 @@ class DataConfig:
     # SURVEY §7.3 -- bucket design is where audio-s/s is lost).
     auto_buckets: int = 0
     shuffle_seed: int = 0
+    # Seed for duration-capped pseudo-splits (dev-clean-1h): the subset is a
+    # pure function of (corpus, seed) and the seed is part of the recorded
+    # experiment config, so resumes select the identical subset.
+    subset_seed: int = 1
     # SortaGrad (Deep Speech 2): first pass in ascending length order.
     sortagrad: bool = False
+    # Background prefetch depth for the grain training iterator: batches
+    # assembled ahead in a producer thread so host tokenize+pad overlaps
+    # device compute.  0 = synchronous (debug).
+    prefetch: int = 3
     synthetic_num_utts: int = 128   # used when librispeech_root == ""
     # Optional target duration range for the synthetic corpus; 0 = default
     # word-count range (data/synthetic.py).

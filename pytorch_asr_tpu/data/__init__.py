@@ -22,25 +22,44 @@ __all__ = [
 
 def load_corpus_for(cfg: DataConfig, sample_rate: int,
                     max_utts: int | None = None):
-    """(audio, transcript) pairs for the configured source (synthetic when no root)."""
+    """(audio, transcript) pairs for the configured source (synthetic when no
+    root).  Real LibriSpeech comes back as a LazyCorpus: manifest-only
+    startup, one FLAC decoded per access (RAM bounded at any corpus size)."""
     if cfg.librispeech_root:
-        return load_corpus(cfg.librispeech_root, cfg.split, max_utts=max_utts)
+        return load_corpus(cfg.librispeech_root, cfg.split, max_utts=max_utts,
+                           subset_seed=getattr(cfg, "subset_seed", 1))
     return synthetic_corpus(
         max_utts or cfg.synthetic_num_utts, sample_rate, seed=cfg.shuffle_seed,
         min_sec=cfg.synthetic_min_sec or None,
         max_sec=cfg.synthetic_max_sec or None)
 
 
+def corpus_audio_lengths(corpus) -> list[int]:
+    """Per-utterance sample counts WITHOUT decoding when the corpus supports
+    it (LazyCorpus reads headers only); in-memory corpora just measure."""
+    if hasattr(corpus, "audio_lengths"):
+        return [int(n) for n in corpus.audio_lengths()]
+    return [len(a) for a, _ in corpus]
+
+
+def corpus_transcripts(corpus) -> list[str]:
+    """Per-utterance transcripts WITHOUT decoding audio."""
+    if hasattr(corpus, "transcript"):
+        return [corpus.transcript(i) for i in range(len(corpus))]
+    return [t for _, t in corpus]
+
+
 def resolve_buckets(cfg: DataConfig, corpus, tokenizer):
     """Bucket ladders from the config, or OPTIMIZED from the corpus length
     profile when cfg.auto_buckets > 0 (data/bucket_opt.py: DP-minimal
-    padding; each bucket is one XLA compilation)."""
+    padding; each bucket is one XLA compilation).  Length profiling never
+    decodes audio on lazy corpora (headers only)."""
     if getattr(cfg, "auto_buckets", 0) <= 0:
         return cfg.bucket_audio_lens, cfg.bucket_label_lens
     from pytorch_asr_tpu.data.bucket_opt import optimize_buckets
 
-    audio_lens = [len(a) for a, _ in corpus]
-    label_lens = [len(tokenizer.encode(t)) for _, t in corpus]
+    audio_lens = corpus_audio_lengths(corpus)
+    label_lens = [len(tokenizer.encode(t)) for t in corpus_transcripts(corpus)]
     return optimize_buckets(audio_lens, label_lens, cfg.auto_buckets)
 
 
@@ -71,4 +90,4 @@ def build_grain_iterator(cfg: DataConfig, sample_rate: int,
         bucket_audio_lens=audio_b,
         bucket_label_lens=label_b,
         seed=cfg.shuffle_seed, num_shards=num_shards, shard_index=shard_index,
-        sortagrad=cfg.sortagrad)
+        sortagrad=cfg.sortagrad, prefetch=getattr(cfg, "prefetch", 3))

@@ -324,6 +324,46 @@ def decode_flac_full(data: bytes) -> tuple[np.ndarray, int, dict]:
     return out.astype(np.int32), info["sr"], info
 
 
+def flac_info(path: str) -> dict:
+    """Header-only STREAMINFO read -> {sr, channels, bps, total}.
+
+    Reads just the metadata blocks (typically < 8 KB), never the frames: the
+    lazy data pipeline uses this for duration-capped pseudo-splits, bucket
+    optimization, and SortaGrad ordering over 960 h of audio without decoding
+    anything (SURVEY.md §2.1 data-pipeline row)."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+        if head != b"fLaC":
+            raise FlacError("not a FLAC stream (missing fLaC marker)")
+        info = None
+        while True:
+            hdr = fh.read(4)
+            if len(hdr) < 4:
+                raise FlacError("truncated metadata")
+            last = hdr[0] & 0x80
+            btype = hdr[0] & 0x7F
+            length = int.from_bytes(hdr[1:4], "big")
+            if btype == 0:
+                body = fh.read(length)
+                if len(body) < 34:
+                    raise FlacError("short STREAMINFO")
+                br = _BitReader(body)
+                br.read(16); br.read(16)               # min/max blocksize
+                br.read(24); br.read(24)               # min/max framesize
+                sr = br.read(20)
+                nch = br.read(3) + 1
+                bps = br.read(5) + 1
+                total = br.read(36)
+                info = {"sr": sr, "channels": nch, "bps": bps, "total": total}
+            else:
+                fh.seek(length, 1)
+            if last:
+                break
+    if info is None:
+        raise FlacError("missing STREAMINFO")
+    return info
+
+
 def decode_flac_bytes(data: bytes) -> tuple[np.ndarray, int]:
     """Full FLAC stream -> (int32 samples (N, channels), sample_rate)."""
     pcm, sr, _ = decode_flac_full(data)

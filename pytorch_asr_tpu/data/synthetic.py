@@ -68,6 +68,35 @@ def synthetic_corpus(
     return out
 
 
+def materialize_wav_tree(corpus, root: str, split: str = "dev-clean",
+                         sample_rate: int = 16000) -> str:
+    """Write (audio, transcript) pairs as a LibriSpeech-layout WAV tree.
+
+    Lets benchmarks and tests exercise the REAL file-backed path
+    (librispeech.load_corpus -> LazyCorpus -> on-demand decode) without
+    LibriSpeech on disk.  Returns ``root``.
+    """
+    import os
+    import wave
+
+    d = os.path.join(root, split, "1", "1")
+    os.makedirs(d, exist_ok=True)
+    lines = []
+    for i, (audio, text) in enumerate(corpus):
+        utt_id = f"1-1-{i:04d}"
+        pcm = np.clip(np.asarray(audio, np.float32) * 32767.0,
+                      -32768, 32767).astype("<i2")
+        with wave.open(os.path.join(d, utt_id + ".wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(pcm.tobytes())
+        lines.append(f"{utt_id} {text.upper()}\n")
+    with open(os.path.join(d, "1-1.trans.txt"), "w") as fh:
+        fh.writelines(lines)
+    return root
+
+
 def synthetic_texts(num: int, seed: int = 0, min_words: int = 2,
                     max_words: int = 8) -> list[str]:
     """Transcripts only (no audio rendering) — e.g. for LM training."""

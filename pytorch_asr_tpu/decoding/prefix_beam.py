@@ -359,17 +359,7 @@ def prefix_beam_search(
                         ctx_width=hash_lm.order - 1 if hash_lm is not None else 0)
     lm_carry = None
     if rnn_lm is not None:
-        from pytorch_asr_tpu.models.lm_rnn import lm_step_logp
-
-        st0 = rnn_lm.apply({"params": rnn_lm_params}, B * K,
-                           method=rnn_lm.init_state)
-        logp0, st1 = lm_step_logp(
-            rnn_lm, rnn_lm_params,
-            jnp.full((B * K,), sos_id, jnp.int32), st0)
-        Lc, _, H = st1.h.shape
-        lm_carry = LMCarry(h=st1.h.reshape(Lc, B, K, H),
-                           c=st1.c.reshape(Lc, B, K, H),
-                           logp=logp0.reshape(B, K, V))
+        lm_carry = rnn_lm_carry_init(rnn_lm, rnn_lm_params, B, K, V, sos_id)
     step = partial(_step, blank=blank, vocab=V, lm_table=lm_table,
                    lm_alpha=lm_alpha, lm_beta=lm_beta, lm_order=lm_order,
                    K=K, L=L, rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
@@ -391,35 +381,67 @@ def prefix_beam_search(
 
 
 # ------------------------------------------------------------- streaming API
-def prefix_beam_init(B: int, beam_size: int, max_len: int) -> BeamState:
-    """Fresh beam state for ``prefix_beam_continue`` (streaming decode)."""
-    return _init_state(B, beam_size, max_len)
+def rnn_lm_carry_init(rnn_lm, rnn_lm_params, B: int, K: int, V: int,
+                      sos_id: int) -> LMCarry:
+    """Per-beam neural-LM carry primed with <sos> (shared by the offline
+    search and the streaming beam — the carry rides across chunks)."""
+    from pytorch_asr_tpu.models.lm_rnn import lm_step_logp
+
+    st0 = rnn_lm.apply({"params": rnn_lm_params}, B * K,
+                       method=rnn_lm.init_state)
+    logp0, st1 = lm_step_logp(
+        rnn_lm, rnn_lm_params, jnp.full((B * K,), sos_id, jnp.int32), st0)
+    Lc, _, H = st1.h.shape
+    return LMCarry(h=st1.h.reshape(Lc, B, K, H),
+                   c=st1.c.reshape(Lc, B, K, H),
+                   logp=logp0.reshape(B, K, V))
+
+
+def prefix_beam_init(B: int, beam_size: int, max_len: int,
+                     ctx_width: int = 0) -> BeamState:
+    """Fresh beam state for ``prefix_beam_continue`` (streaming decode).
+
+    ``ctx_width``: hashed-LM context window width (order - 1) when streaming
+    with hashed backoff fusion; 0 for no-LM / dense-table / RNN fusion.
+    """
+    return _init_state(B, beam_size, max_len, ctx_width=ctx_width)
 
 
 def prefix_beam_continue(state: BeamState, logp: jax.Array,
-                         n_valid: jax.Array, *, blank: int = 0) -> BeamState:
+                         n_valid: jax.Array, *, blank: int = 0,
+                         lm_table: jax.Array | None = None,
+                         lm_alpha: float = 0.0, lm_beta: float = 0.0,
+                         hash_lm=None, rnn_lm=None, rnn_lm_params=None,
+                         lm_carry: LMCarry | None = None,
+                         ) -> tuple[BeamState, LMCarry | None]:
     """Advance the beam over ONE chunk of (B, Tc, V) log-softmax frames.
 
     ``n_valid`` (B,): frames of this chunk to consume per row (trailing
     frames are frozen).  Because the offline search is a lax.scan of the
     SAME step function, feeding an utterance chunk-by-chunk through this is
     bitwise identical to ``prefix_beam_search`` on the concatenation — the
-    streaming-beam parity contract (decoding/streaming.py, beam mode).
+    streaming-beam parity contract (decoding/streaming.py, beam mode) — and
+    that now includes every fusion source: the dense-table context id and
+    hashed-LM context window ride ``state.ctx``; the RNN-LM (h, c) rides the
+    returned ``lm_carry`` (initialize with ``rnn_lm_carry_init``, thread it
+    through every chunk).  Returns (new state, new lm_carry).
     """
     B, Tc, V = logp.shape
     K = state.pb.shape[1]
     L = state.tokens.shape[2]
-    step = partial(_step, blank=blank, vocab=V, lm_table=None, lm_alpha=0.0,
-                   lm_beta=0.0, lm_order=3, K=K, L=L)
+    step = partial(_step, blank=blank, vocab=V, lm_table=lm_table,
+                   lm_alpha=lm_alpha, lm_beta=lm_beta, lm_order=3, K=K, L=L,
+                   rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
+                   hash_lm=hash_lm)
 
-    def scan_fn(st, inp):
+    def scan_fn(carry, inp):
+        st, lmc = carry
         t, logp_t = inp
-        new_st, _ = step(st, logp_t, t < n_valid)
-        return new_st, None
+        return step(st, logp_t, t < n_valid, lm_carry=lmc), None
 
-    state, _ = jax.lax.scan(
-        scan_fn, state, (jnp.arange(Tc), jnp.swapaxes(logp, 0, 1)))
-    return state
+    (state, lm_carry), _ = jax.lax.scan(
+        scan_fn, (state, lm_carry), (jnp.arange(Tc), jnp.swapaxes(logp, 0, 1)))
+    return state, lm_carry
 
 
 def beam_best(state: BeamState):

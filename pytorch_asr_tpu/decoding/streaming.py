@@ -58,10 +58,11 @@ class StreamState:
     lstm_c: tuple            # per lstm layer: (B, H) f32
     prev_tok: jax.Array      # (B,) int32 — last argmax frame (incl. blank)
     beam: Any = None         # decoding.prefix_beam.BeamState (beam mode)
+    lm_carry: Any = None     # decoding.prefix_beam.LMCarry (RNN-LM fusion)
 
     def tree_flatten(self):
         return ((self.conv_ctx, self.lstm_h, self.lstm_c, self.prev_tok,
-                 self.beam), None)
+                 self.beam, self.lm_carry), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -85,8 +86,17 @@ def _check_streamable(cfg: ExperimentConfig) -> BiLSTMEncoderConfig:
 
 
 def init_stream_state(cfg: ExperimentConfig, batch_size: int,
-                      beam: bool = False) -> StreamState:
-    """Zero state == the causal left padding / zero-initial LSTM offline."""
+                      beam: bool = False, hash_lm=None, rnn_lm=None,
+                      rnn_lm_params=None, sos_id: int | None = None,
+                      ) -> StreamState:
+    """Zero state == the causal left padding / zero-initial LSTM offline.
+
+    Beam mode carries LM-fusion state across chunks too: the hashed-LM
+    context window widens ``BeamState.ctx`` to (order - 1) token ids, and an
+    RNN LM primes a per-beam ``LMCarry`` with <sos> — both device-resident
+    (BASELINE 'LM-fusion state exchanged ... device-resident' applies to the
+    online path as well).
+    """
     enc = _check_streamable(cfg)
     kt, kf = enc.conv_kernel
     st, sf = enc.conv_stride
@@ -101,17 +111,28 @@ def init_stream_state(cfg: ExperimentConfig, batch_size: int,
     H = enc.hidden_dim
     zeros = lambda: jnp.zeros((batch_size, H), jnp.float32)
     beam_state = None
+    lm_carry = None
     if beam:
-        from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_init
+        from pytorch_asr_tpu.decoding.prefix_beam import (
+            prefix_beam_init, rnn_lm_carry_init)
 
+        ctx_width = hash_lm.order - 1 if hash_lm is not None else 0
         beam_state = prefix_beam_init(batch_size, cfg.decode.beam_size,
-                                      cfg.decode.max_decode_len)
+                                      cfg.decode.max_decode_len,
+                                      ctx_width=ctx_width)
+        if rnn_lm is not None:
+            if sos_id is None:
+                raise ValueError("rnn_lm streaming fusion needs sos_id")
+            lm_carry = rnn_lm_carry_init(
+                rnn_lm, rnn_lm_params, batch_size, cfg.decode.beam_size,
+                rnn_lm.vocab_size, sos_id)
     return StreamState(
         conv_ctx=tuple(conv_ctx),
         lstm_h=tuple(zeros() for _ in range(enc.num_layers)),
         lstm_c=tuple(zeros() for _ in range(enc.num_layers)),
         prev_tok=jnp.full((batch_size,), -1, jnp.int32),
         beam=beam_state,
+        lm_carry=lm_carry,
     )
 
 
@@ -155,16 +176,19 @@ def _lstm_chunk(xproj, whh, h0, c0, valid):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _stream_step(static, params, state: StreamState, samples, n_frames):
+def _stream_step(static, params, state: StreamState, samples, n_frames,
+                 lm_table=None, hash_lm=None, rnn_lm_params=None):
     """One block: samples -> log-mel -> causal conv -> LSTM -> greedy emit.
 
     Args:
-      static: (cfg, block_frames, mel_matrix_bytes-free tuple) — hashable.
+      static: (cfg, block_frames, rnn_lm, lm_alpha, lm_beta) — hashable.
       samples: (B, (block_frames-1)*hop + win) f32.
       n_frames: (B,) int32 valid frame count in this block (<= block_frames).
+      lm_table / hash_lm / rnn_lm_params: beam-mode LM fusion sources
+        (device pytrees; traced so swapping LMs never recompiles the step).
     Returns: (new_state, ids (B, out_T) left-packed, n_ids (B,)).
     """
-    cfg, block_frames = static
+    cfg, block_frames, rnn_lm, lm_alpha, lm_beta = static
     enc = cfg.model.encoder
     fe = cfg.frontend
     kt, kf = enc.conv_kernel
@@ -227,17 +251,22 @@ def _stream_step(static, params, state: StreamState, samples, n_frames):
               ).astype(jnp.float32)                       # (B, T, V)
 
     if state.beam is not None:
-        # --- cross-chunk PREFIX BEAM: the carried BeamState makes chunked
-        # decoding bitwise equal to the offline beam over the full utterance.
+        # --- cross-chunk PREFIX BEAM: the carried BeamState (+ LMCarry for
+        # RNN fusion) makes chunked decoding bitwise equal to the offline
+        # beam over the full utterance, INCLUDING every LM fusion source.
         from pytorch_asr_tpu.decoding.prefix_beam import (
             beam_best, prefix_beam_continue)
 
         logp = jax.nn.log_softmax(logits, axis=-1)
-        new_beam = prefix_beam_continue(state.beam, logp, lengths)
+        new_beam, new_lm_carry = prefix_beam_continue(
+            state.beam, logp, lengths,
+            lm_table=lm_table, lm_alpha=lm_alpha, lm_beta=lm_beta,
+            hash_lm=hash_lm, rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
+            lm_carry=state.lm_carry)
         toks, n_ids, _ = beam_best(new_beam)
         new_state = StreamState(conv_ctx=tuple(new_ctx), lstm_h=tuple(new_h),
                                 lstm_c=tuple(new_c), prev_tok=state.prev_tok,
-                                beam=new_beam)
+                                beam=new_beam, lm_carry=new_lm_carry)
         return new_state, toks, n_ids
 
     # --- cross-chunk greedy collapse
@@ -278,10 +307,23 @@ class StreamingRecognizer:
 
     def __init__(self, params: Any, cfg: ExperimentConfig,
                  batch_size: int, block_frames: int = 16,
-                 mode: str = "greedy"):
+                 mode: str = "greedy", lm_table=None, hash_lm=None,
+                 rnn_lm=None, rnn_lm_params=None,
+                 lm_alpha: float = 0.0, lm_beta: float = 0.0,
+                 sos_id: int | None = None):
         if mode not in ("greedy", "beam"):
             raise ValueError(f"unknown streaming mode {mode!r}")
+        if mode != "beam" and (lm_table is not None or hash_lm is not None
+                               or rnn_lm is not None):
+            raise ValueError("LM fusion requires mode='beam'")
         self.mode = mode
+        self.lm_table = lm_table
+        self.hash_lm = hash_lm
+        self.rnn_lm = rnn_lm
+        self.rnn_lm_params = rnn_lm_params
+        self.lm_alpha = float(lm_alpha)
+        self.lm_beta = float(lm_beta)
+        self.sos_id = sos_id
         enc = _check_streamable(cfg)
         total_stride = 1
         for _ in enc.conv_channels:
@@ -300,16 +342,23 @@ class StreamingRecognizer:
 
     def reset(self) -> None:
         self.state = init_stream_state(self.cfg, self.batch_size,
-                                       beam=self.mode == "beam")
+                                       beam=self.mode == "beam",
+                                       hash_lm=self.hash_lm,
+                                       rnn_lm=self.rnn_lm,
+                                       rnn_lm_params=self.rnn_lm_params,
+                                       sos_id=self.sos_id)
         self._buf = np.zeros((self.batch_size, 0), np.float32)
         self._finished = False
         self._best: list[list[int]] = [[] for _ in range(self.batch_size)]
 
     def _run_block(self, samples: np.ndarray, n_frames: int) -> list[list[int]]:
         state, ids, n = _stream_step(
-            (self.cfg, self.block_frames), self.params, self.state,
+            (self.cfg, self.block_frames, self.rnn_lm,
+             self.lm_alpha, self.lm_beta),
+            self.params, self.state,
             jnp.asarray(samples),
-            jnp.full((self.batch_size,), n_frames, jnp.int32))
+            jnp.full((self.batch_size,), n_frames, jnp.int32),
+            self.lm_table, self.hash_lm, self.rnn_lm_params)
         self.state = state
         ids, n = np.asarray(ids), np.asarray(n)
         return [ids[b, :n[b]].tolist() for b in range(self.batch_size)]

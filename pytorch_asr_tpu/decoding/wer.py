@@ -32,11 +32,13 @@ class ErrorRateAccumulator:
         return self.errors / max(self.tokens, 1)
 
 
-def _corpus_rate(refs: list[list], hyps: list[list]) -> float:
-    """Batch error rate; uses the threaded C++ scorer when built."""
+def _corpus_counts(refs: list[list], hyps: list[list]) -> tuple[int, int]:
+    """(total edit errors, total reference tokens); threaded C++ scorer when
+    built.  Counts (not rates) are the cross-process reduction unit for
+    multi-host eval (SURVEY.md §2.4): rates do not sum, counts do."""
     tokens = sum(len(r) for r in refs)
     if tokens == 0:
-        return 0.0
+        return 0, 0
     try:
         from pytorch_asr_tpu import native
 
@@ -45,13 +47,27 @@ def _corpus_rate(refs: list[list], hyps: list[list]) -> float:
             to_ids = lambda seq: [sym.setdefault(s, len(sym)) for s in seq]  # noqa: E731
             ref_ids = [to_ids(r) for r in refs]
             hyp_ids = [to_ids(h) for h in hyps]
-            return float(native.edit_distance_batch(ref_ids, hyp_ids).sum()) / tokens
+            return int(native.edit_distance_batch(ref_ids, hyp_ids).sum()), tokens
     except ImportError:
         pass
     acc = ErrorRateAccumulator()
     for r, h in zip(refs, hyps):
         acc.add(r, h)
-    return acc.rate
+    return acc.errors, acc.tokens
+
+
+def _corpus_rate(refs: list[list], hyps: list[list]) -> float:
+    errors, tokens = _corpus_counts(refs, hyps)
+    return errors / max(tokens, 1)
+
+
+def corpus_counts(refs: list[str], hyps: list[str],
+                  unit: str = "word") -> tuple[int, int]:
+    """(errors, ref tokens) at word or char granularity."""
+    if unit == "word":
+        return _corpus_counts([r.split() for r in refs],
+                              [h.split() for h in hyps])
+    return _corpus_counts([list(r) for r in refs], [list(h) for h in hyps])
 
 
 def corpus_wer(refs: list[str], hyps: list[str]) -> float:

@@ -70,9 +70,64 @@ class TCNBlock(nn.Module):
             y = self.drop(y, deterministic=not train)
         return y
 
+    def _tp_pallas(self, x: jax.Array, lengths: jax.Array, train: bool,
+                   mesh, m: int) -> jax.Array:
+        """Tensor-parallel fused-Pallas block (VERDICT r2 item 7).
+
+        The conv pair has no per-step recurrence, so the fast path survives
+        ANY model-axis size that divides C: each model shard runs the fused
+        body kernel on a GLU-PAIR-AWARE weight slice — (K, C, 2C/m) dilated
+        channels paired as [lin_k | gate_k] plus the matching (C/m, C)
+        pointwise rows — and partial outputs psum over 'model' (one
+        (B_local, T, C) collective per block, outside the kernel).  Weights
+        stay replicated at rest (DIRECTION_TP_RULES precedent); the slice is
+        a local, free reshard inside shard_map.  Inference reuses the
+        body-only train kernel (the fused-residual inference kernel can't
+        psum: each shard would re-add x).
+        """
+        from jax.sharding import PartitionSpec as P
+
+        from pytorch_asr_tpu.ops.dilated_conv_pallas import tcn_block_train
+
+        C = self.channels
+        cm = C // m
+        dilation = self.dilation
+
+        def fn(x_, s, b, wc, bc, wp, bp):
+            k = jax.lax.axis_index("model")
+            wc_l = jnp.concatenate([
+                jax.lax.dynamic_slice_in_dim(wc, k * cm, cm, axis=2),
+                jax.lax.dynamic_slice_in_dim(wc, C + k * cm, cm, axis=2),
+            ], axis=2)
+            bc_l = jnp.concatenate([
+                jax.lax.dynamic_slice_in_dim(bc, k * cm, cm, axis=0),
+                jax.lax.dynamic_slice_in_dim(bc, C + k * cm, cm, axis=0),
+            ], axis=0)
+            wp_l = jax.lax.dynamic_slice_in_dim(wp, k * cm, cm, axis=0)
+            # b_point enters once per shard -> scale by 1/m so the psum
+            # restores it exactly.
+            y = tcn_block_train(x_, s, b, wc_l, bc_l, wp_l, bp / m, dilation)
+            return jax.lax.psum(y, "model")
+
+        fn = jax.shard_map(fn, mesh=mesh,
+                           in_specs=(P("data"),) + (P(),) * 6,
+                           out_specs=P("data"), check_vma=False)
+        y = fn(x.astype(jnp.float32), self.ln_scale, self.ln_bias,
+               self.w_conv, self.b_conv, self.w_point, self.b_point)
+        if train and self.dropout > 0:
+            y = self.drop(y, deterministic=False)
+        return _mask_time(x + y.astype(x.dtype), lengths)
+
     def __call__(self, x: jax.Array, lengths: jax.Array, train: bool) -> jax.Array:
         from pytorch_asr_tpu.ops.runtime import pallas_active, pallas_interpret
 
+        if self.use_pallas and pallas_active():
+            from pytorch_asr_tpu.parallel.mesh import active_mesh
+
+            mesh = active_mesh()
+            m = int(mesh.shape.get("model", 1)) if mesh is not None else 1
+            if m > 1 and self.channels % m == 0:
+                return self._tp_pallas(x, lengths, train, mesh, m)
         if self.use_pallas and train and pallas_active():
             # Fused train-path kernel with custom VJP (ops/dilated_conv_pallas
             # .py::tcn_block_train): computes the pre-residual block body so

@@ -13,8 +13,10 @@ shifted MXU matmuls over time blocks:
   * tap k = sublane roll by halo+(k-K//2)*d then an aligned (Tb, C) slice,
     accumulated into the (Tb, 2C) GLU pre-activation on the MXU.
 
-Used on the inference/decode hot path (BASELINE: beam-decode RTF); training
-uses the XLA conv path (autodiff).  Parity: tests vs models.encoder_tcn.TCNBlock.
+``tcn_block_pallas`` serves the inference/decode hot path (BASELINE:
+beam-decode RTF); ``tcn_block_train`` (below) serves TRAINING with a fused
+custom-VJP Pallas backward — both parity-tested vs models.encoder_tcn.TCNBlock
+(values and grads, incl. block-boundary halos).
 """
 
 from __future__ import annotations
@@ -320,6 +322,11 @@ def _train_vjp_bwd(dilation, eps, res, dy):
     x, xn, ln_scale, w_conv, b_conv, w_point = res
     B, T, C = x.shape
     K = w_conv.shape[0]
+    # Conv-out / pointwise-in channel counts come from the WEIGHTS, not 2*C:
+    # under tensor parallelism each model shard holds a GLU-pair-aware slice
+    # (K, C, 2C/m) + (C/m, C) of the block weights (encoder_tcn.py TP path).
+    CO = w_conv.shape[2]
+    CP = w_point.shape[0]
     tb = T_BLOCK
     t_pad = _round_up(T, tb)
     nblk = t_pad // tb
@@ -342,24 +349,24 @@ def _train_vjp_bwd(dilation, eps, res, dy):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, span, C), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((K, C, 2 * C), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec((1, 2 * C), lambda b, i: (0, 0)),
-            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((K, C, CO), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((1, CO), lambda b, i: (0, 0)),
+            pl.BlockSpec((CP, C), lambda b, i: (0, 0)),
             pl.BlockSpec((1, C), lambda b, i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, nblk, span, C), jnp.float32),
-            jax.ShapeDtypeStruct((K, C, 2 * C), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
-            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, CO), jnp.float32),
+            jax.ShapeDtypeStruct((1, CO), jnp.float32),
+            jax.ShapeDtypeStruct((CP, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((span, C), jnp.float32),                # xn slab
             pltpu.VMEM((span, C), jnp.float32),                # dxn slab
-            pltpu.VMEM((K, C, 2 * C), jnp.float32),            # dWc accum
-            pltpu.VMEM((1, 2 * C), jnp.float32),               # dbc accum
-            pltpu.VMEM((C, C), jnp.float32),                   # dWp accum
+            pltpu.VMEM((K, C, CO), jnp.float32),               # dWc accum
+            pltpu.VMEM((1, CO), jnp.float32),                  # dbc accum
+            pltpu.VMEM((CP, C), jnp.float32),                  # dWp accum
             pltpu.VMEM((1, C), jnp.float32),                   # dbp accum
             pltpu.SemaphoreType.DMA(()),
         ],

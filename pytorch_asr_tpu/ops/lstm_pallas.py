@@ -153,11 +153,21 @@ def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
 
     ``t_total``: set when the grid's last block is PARTIAL (unpadded T not a
     tc multiple).  Rows at t >= t_total come from out-of-bounds loads whose
-    bits are undefined; the dgates mask (t < end) already zeroes their direct
-    contribution, but two matmuls multiply potentially-non-finite garbage by
-    those zero rows (NaN * 0 = NaN): x rows into dwih and h_prev rows into
-    dwhh.  Both are zero-sanitized here; everything else flows through value
-    SELECTS, which do not propagate the unselected operand.
+    bits are undefined.  Three hazards, all zero-sanitized here:
+      1. x rows at t >= t_total enter the dwih matmul against zero dgates
+         rows (NaN * 0 = NaN), so xb is zeroed before the matmul.
+      2. ct / o_all rows at t >= t_total are SHIFTED by one step when
+         building the processing-order prev-state sequences; for the
+         reverse direction the shift moves row t_total UP onto the VALID
+         step t_total-1 (whose dgates mask is true), so garbage would enter
+         the live gradient chain.  Sanitizing ct and o_all BEFORE the shift
+         makes the shifted-in value 0 — which is exactly the reverse chain's
+         entering state there, because the partial chunk is the reverse
+         direction's FIRST processed chunk (h0/c0 are the initial zeros).
+      3. the sanitized h_prev rows also keep garbage out of the dwhh matmul
+         (same NaN * 0 hazard as dwih).
+    Everything else flows through value SELECTS, which do not propagate the
+    unselected operand.
     """
     ic = pl.program_id(0)
     B = dh_sc.shape[0]
@@ -174,9 +184,16 @@ def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
     chunk = ic if reverse else (n_chunks - 1 - ic)
     gt_sc[:] = jnp.swapaxes(ghs_ref[:], 0, 1)            # (tc, B, H)
     ct = ct_ref[:].astype(jnp.float32)                   # (tc, B, H)
-    tanh_sc[:] = jnp.tanh(ct)
     # h outputs reconstructed from residuals (valid steps only -- see above).
     o_all = acts_ref[:, :, 3 * H:].astype(jnp.float32)
+    if t_total is not None:
+        # Sanitize BEFORE the shift below: see hazard 2 in the docstring.
+        rows = chunk * tc + jax.lax.broadcasted_iota(
+            jnp.int32, (tc, 1, 1), 0)
+        valid = rows < t_total
+        ct = jnp.where(valid, ct, 0.0)
+        o_all = jnp.where(valid, o_all, 0.0)
+    tanh_sc[:] = jnp.tanh(ct)
     h_all = o_all * tanh_sc[:]
     if reverse:
         # processing order walks natural time DESCENDING: the state entering
@@ -190,10 +207,6 @@ def _bwd_kernel(x_ref, ghs_ref, acts_ref, ct_ref, h0_ref, c0_ref,
         hp_sc[1:tc] = h_all[0:tc - 1]
         cp_sc[0] = c0_ref[0]
         cp_sc[1:tc] = ct[0:tc - 1]
-    if t_total is not None:
-        rows = chunk * tc + jax.lax.broadcasted_iota(
-            jnp.int32, (tc, 1, 1), 0)
-        hp_sc[:] = jnp.where(rows < t_total, hp_sc[:], 0.0)
     whh_t = whh_t_ref[:]
     end = end_ref[:]
 

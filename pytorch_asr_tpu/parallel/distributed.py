@@ -50,3 +50,28 @@ def is_primary() -> bool:
 def host_shard() -> tuple[int, int]:
     """(num_shards, shard_index) for per-host data sharding."""
     return jax.process_count(), jax.process_index()
+
+
+def sum_across_processes(values) -> "np.ndarray":
+    """Element-wise sum of a small numeric vector over all processes.
+
+    The cross-host reduction for eval/decode metrics (WER error/token counts,
+    audio seconds): rates don't sum across hosts, counts do.  Single process:
+    identity.  Multi-process: ``multihost_utils.process_allgather`` (a
+    collective — every process must call this the same number of times).
+    """
+    import numpy as np
+
+    arr = np.atleast_1d(np.asarray(values))
+    # jax (x64 disabled) transports int32/float32; counts MUST go as ints so
+    # the reduction is exact — float32 rounding of large counts would make
+    # multi-host WER differ from single-host in the last ulps.
+    arr = arr.astype(np.int32 if np.issubdtype(arr.dtype, np.integer)
+                     else np.float32)
+    if jax.process_count() == 1:
+        return np.sum(arr[None], axis=0, dtype=np.int64
+                      if arr.dtype == np.int32 else np.float64)
+    from jax.experimental import multihost_utils
+
+    return np.sum(np.asarray(multihost_utils.process_allgather(arr)), axis=0,
+                  dtype=np.int64 if arr.dtype == np.int32 else np.float64)

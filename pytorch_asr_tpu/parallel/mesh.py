@@ -116,6 +116,49 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
+def shard_batch_global(mesh: Mesh, batch: dict) -> dict:
+    """GLOBAL host batch (identical on every process) -> 'data'-sharded arrays.
+
+    The eval/decode drivers iterate the SAME eval dataset on every host (the
+    shapes of bucketed batches must agree across processes at each collective
+    step); each process contributes its contiguous row block, so every
+    utterance enters the global computation exactly once.  Use
+    ``fetch_local_rows`` on inputs AND outputs to recover this process's rows
+    — the assembled global array may permute rows relative to the host batch,
+    but input/output row alignment is preserved because both live on the same
+    devices.  Single process: plain sharded device_put.
+    """
+    if jax.process_count() == 1:
+        sh = batch_sharding(mesh)
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    P_ = jax.process_count()
+    p = jax.process_index()
+    B = next(iter(batch.values())).shape[0]
+    if B % P_ != 0:
+        raise ValueError(
+            f"eval batch size {B} not divisible by process_count {P_}; "
+            f"set data.batch_size to a multiple of the host count")
+    lo, hi = p * B // P_, (p + 1) * B // P_
+    sh = batch_sharding(mesh)
+    return {k: jax.make_array_from_process_local_data(sh, np.asarray(v)[lo:hi])
+            for k, v in batch.items()}
+
+
+def fetch_local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in global row
+    order (deduplicated across model-axis replicas).  Single process: the
+    whole array.  Never touches non-addressable shards, so it is safe where
+    ``np.asarray(global_arr)`` would raise on a multi-host mesh."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    by_start: dict[int, np.ndarray] = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = np.asarray(s.data)
+    return np.concatenate([by_start[k] for k in sorted(by_start)], axis=0)
+
+
 def shard_params(mesh: Mesh, params):
     """Replicate parameters across the mesh (model-axis sharding is opt-in
     per-module via logical partitioning; the default is replication)."""

@@ -37,23 +37,30 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # (path regex, ndim, spec). First match wins; no match -> replicate.
-RULES: tuple[tuple[str, int, P], ...] = (
+# Split EXPLICITLY by whether the rule shards a recurrent (LSTM) weight:
+# direction-sharded TP excludes exactly the recurrent set, and the split is
+# structural rather than a substring filter over the regex source (a rule
+# merely mentioning 'lstm' can't sneak in or out — ADVICE r2).
+_RECURRENT_RULES: tuple[tuple[str, int, P], ...] = (
     # BiLSTM encoder: fused-gate dim over 'model'.
     (r"encoder/.*lstm\d+_(fwd|bwd)/(wih|whh)$", 2, P(None, "model")),
     (r"encoder/.*lstm\d+_(fwd|bwd)/bias$", 1, P("model")),
+)
+_NON_RECURRENT_RULES: tuple[tuple[str, int, P], ...] = (
     # TCN blocks: column-parallel GLU conv, row-parallel pointwise.
     (r"encoder/.*block\d+/w_conv$", 3, P(None, None, "model")),
     (r"encoder/.*block\d+/b_conv$", 1, P("model")),
     (r"encoder/.*block\d+/w_point$", 2, P("model", None)),
 )
+RULES: tuple[tuple[str, int, P], ...] = (
+    _RECURRENT_RULES + _NON_RECURRENT_RULES)
 
 # Direction-sharded TP (models/encoder_bilstm.py::_bilstm_tp_directions):
 # each model shard runs one direction's FUSED Pallas kernel, so LSTM weight
 # tensors stay whole (replicated at rest; the shard_map boundary slices the
 # stacked (2, D, 4H) per-direction — a local, free reshard).  Only the
 # non-recurrent rules remain.
-DIRECTION_TP_RULES: tuple[tuple[str, int, P], ...] = tuple(
-    r for r in RULES if "lstm" not in r[0])
+DIRECTION_TP_RULES: tuple[tuple[str, int, P], ...] = _NON_RECURRENT_RULES
 
 
 def _compiled(rules):

@@ -178,21 +178,306 @@ def import_torch_bilstm_ctc(state_dict: Mapping[str, Any],
     hidden = enc["lstm0_fwd"]["whh"].shape[0]
 
     # --- CTC head: last 2-D weight whose input dim is 2H ---------------------
-    head = None
-    for k, v in reversed(items):
-        if getattr(v, "ndim", np.ndim(v)) == 2 and k.endswith("weight") \
-                and _np(v).shape[1] == 2 * hidden and "weight_hh" not in k \
-                and "weight_ih" not in k:
-            bkey = k[: -len("weight")] + "bias"
-            head = convert_linear(v, state_dict.get(bkey))
-            break
-    if head is None:
+    # Joint checkpoints can hold OTHER (·, 2H) linears (the LAS memory
+    # projection sees the same encoder dim), so when the vocab is known the
+    # out-dim must match it.
+    cands = [(k, v) for k, v in items
+             if getattr(v, "ndim", np.ndim(v)) == 2 and k.endswith("weight")
+             and _np(v).shape[1] == 2 * hidden and "weight_hh" not in k
+             and "weight_ih" not in k]
+    if vocab_size is not None:
+        right_vocab = [(k, v) for k, v in cands
+                       if _np(v).shape[0] == vocab_size]
+        # Keep the mismatched candidate when it is the ONLY one so the vocab
+        # check below raises the informative error.
+        cands = right_vocab or cands
+    if not cands:
         raise TorchImportError("no (V, 2H) CTC head weight found")
+    k, v = cands[-1]
+    head = convert_linear(v, state_dict.get(k[: -len("weight")] + "bias"))
     if vocab_size is not None and head["kernel"].shape[1] != vocab_size:
         raise TorchImportError(
             f"CTC head vocab {head['kernel'].shape[1]} != expected {vocab_size}")
 
     return {"encoder": enc, "ctc_head": head}
+
+
+def convert_conv1d(weight, bias=None) -> dict[str, np.ndarray]:
+    """torch Conv1d (O, I, K) -> flax-style kernel (K, I, O)[, bias]."""
+    w = _np(weight)
+    if w.ndim != 3:
+        raise TorchImportError(f"conv1d weight must be 3-D, got {w.shape}")
+    out = {"kernel": np.transpose(w, (2, 1, 0))}
+    if bias is not None:
+        out["bias"] = _np(bias)
+    return out
+
+
+def import_torch_tcn_ctc(state_dict: Mapping[str, Any],
+                         num_mel_bins: int,
+                         vocab_size: int | None = None) -> dict[str, Any]:
+    """Convert a Wav2Letter/TCN-class torch state_dict to our TCN param tree.
+
+    Target: models/encoder_tcn.py::TCNEncoder + ctc_head.  Reference-genre
+    layout (discovered structurally, matching the DS2 importer's approach
+    since /root/reference is absent — SURVEY.md §0):
+
+      * stem: ``nn.Conv1d(n_mels, C, k, stride=subsample)`` — the FIRST 3-D
+        weight, whose in_channels == num_mel_bins;
+      * per block, in module order: ``nn.LayerNorm(C)`` (1-D weight+bias),
+        dilated ``nn.Conv1d(C, 2C, K)`` (GLU doubling), pointwise
+        ``nn.Conv1d(C, C, 1)`` or ``nn.Linear(C, C)``;
+      * final ``nn.LayerNorm(C)``; CTC head ``nn.Linear(C, V)``.
+
+    torch GLU splits channels [linear | gate] exactly like our
+    ``jnp.split(y, 2)``, so dilated-conv channels map 1:1.
+    """
+    items = list(state_dict.items())
+    convs3 = [(k, _np(v)) for k, v in items
+              if getattr(v, "ndim", np.ndim(v)) == 3 and k.endswith("weight")]
+    if not convs3:
+        raise TorchImportError("no 3-D Conv1d weights found (TCN stem/blocks)")
+    k0, w0 = convs3[0]
+    if w0.shape[1] != num_mel_bins:
+        raise TorchImportError(
+            f"stem conv in_channels {w0.shape[1]} != n_mels {num_mel_bins}")
+    C = w0.shape[0]
+    enc: dict[str, Any] = {
+        "Conv_0": convert_conv1d(w0, state_dict[k0[:-len("weight")] + "bias"])}
+
+    # 1-D LayerNorm scales in order: one per block + the final LN.
+    lns = [(k, _np(v)) for k, v in items
+           if getattr(v, "ndim", np.ndim(v)) == 1 and k.endswith("weight")]
+
+    # Remaining 3-D convs partition by shape: dilated (2C, C, K) vs
+    # pointwise (C, C, 1).  The i-th of each kind belongs to block i (module
+    # order within each kind IS the block order, whether the reference
+    # interleaves them or keeps per-kind ModuleLists).  nn.Linear(C, C) may
+    # stand in for every pointwise conv.
+    body = convs3[1:]
+    dil = [(k, w) for k, w in body if w.shape[:2] == (2 * C, C)]
+    pts = [(k, w) for k, w in body if w.shape == (C, C, 1)]
+    stray = [k for k, w in body
+             if w.shape[:2] != (2 * C, C) and w.shape != (C, C, 1)]
+    if stray:
+        raise TorchImportError(
+            f"unrecognized 3-D conv weights {stray}: TCN blocks need "
+            f"(2C, C, K) dilated and (C, C, 1) pointwise convs")
+    lins2 = [(k, _np(v)) for k, v in items
+             if getattr(v, "ndim", np.ndim(v)) == 2 and k.endswith("weight")
+             and _np(v).shape == (C, C)]
+    if len(pts) == len(dil):
+        points = [(np.transpose(w, (2, 1, 0))[0],
+                   _np(state_dict[k[:-len("weight")] + "bias"]))
+                  for k, w in pts]
+    elif len(lins2) == len(dil):
+        points = [(w.T,
+                   _np(state_dict.get(k[:-len("weight")] + "bias",
+                                      np.zeros(C, np.float32))))
+                  for k, w in lins2]
+    else:
+        raise TorchImportError(
+            f"found {len(dil)} dilated convs but {len(pts)} pointwise convs "
+            f"/ {len(lins2)} (C, C) linears — need one per block")
+    blocks: list[dict[str, Any]] = []
+    for (kd, wd), (w_point, b_point) in zip(dil, points):
+        bd = state_dict[kd[:-len("weight")] + "bias"]
+        blocks.append({"w_conv": np.transpose(wd, (2, 1, 0)),
+                       "b_conv": _np(bd),
+                       "w_point": w_point, "b_point": b_point})
+    if len(lns) != len(blocks) + 1:
+        raise TorchImportError(
+            f"found {len(lns)} LayerNorms for {len(blocks)} blocks "
+            f"(need one per block + a final one)")
+    for i, blk in enumerate(blocks):
+        kl, wl = lns[i]
+        blk["ln_scale"] = wl
+        blk["ln_bias"] = _np(state_dict[kl[:-len("weight")] + "bias"])
+        enc[f"block{i}"] = blk
+    kf, wf = lns[-1]
+    enc["LayerNorm_0"] = {
+        "scale": wf, "bias": _np(state_dict[kf[:-len("weight")] + "bias"])}
+
+    head = None
+    for k, v in reversed(items):
+        if getattr(v, "ndim", np.ndim(v)) == 2 and k.endswith("weight"):
+            w = _np(v)
+            if w.shape[1] == C and (vocab_size is None
+                                    or w.shape[0] == vocab_size) \
+                    and w.shape != (C, C):
+                head = convert_linear(v, state_dict.get(
+                    k[:-len("weight")] + "bias"))
+                break
+    if head is None:
+        raise TorchImportError("no (V, C) CTC head weight found")
+    return {"encoder": enc, "ctc_head": head}
+
+
+_CELL_RE = re.compile(r"(?:^|\.)(?:(\d+)\.)?weight_ih(?:_l(\d+))?$")
+
+
+def import_torch_las_decoder(state_dict: Mapping[str, Any],
+                             hidden_dim: int, attention_dim: int,
+                             enc_dim: int, location_filters: int,
+                             vocab_size: int | None = None
+                             ) -> dict[str, Any]:
+    """Convert a genre LAS/ARSG torch decoder to models/las_decoder.py params.
+
+    Expected reference-genre modules (Chorowski et al. 2015 attention):
+      * ``nn.Embedding(V, E)`` — the 2-D weight on a key containing 'embed';
+      * per-layer ``nn.LSTMCell`` (keys ``weight_ih``/``weight_hh``/biases,
+        optionally ``_l{k}``-suffixed if an ``nn.LSTM`` is stepped) — layer 0
+        input is [emb, ctx] (E + D rows);
+      * location conv ``nn.Conv1d(1, F, K)`` — the 3-D weight with
+        in_channels 1;
+      * attention MLP linears, mapped BY SHAPE: (A, H) -> w_s, (A, D) -> w_e,
+        (A, F) -> w_f, (1, A) -> v; their biases sum into b_att (our module
+        keeps one bias on the tanh pre-activation);
+      * output ``nn.Linear(H + D, V)`` -> w_out/b_out.
+
+    Our cell applies a +1 forget-gate bias in the step function
+    (las_decoder.py: ``sigmoid(f + 1.0)``); torch cells bake any such bias
+    into the stored parameters, so 1.0 is SUBTRACTED from the imported
+    forget-bias quarter to keep the math identical.
+
+    Shape-based mapping requires H != D (or name hints 'query'/'memory');
+    ambiguous dicts raise rather than guess.
+    """
+    items = list(state_dict.items())
+    H, A, D, F = hidden_dim, attention_dim, enc_dim, location_filters
+    out: dict[str, Any] = {}
+
+    emb = [(k, _np(v)) for k, v in items
+           if getattr(v, "ndim", np.ndim(v)) == 2 and "embed" in k.lower()
+           and k.endswith("weight")]
+    if len(emb) != 1:
+        raise TorchImportError(
+            f"expected exactly one embedding weight (key containing "
+            f"'embed'), found {[k for k, _ in emb]}")
+    out["embed"] = emb[0][1]
+    E = emb[0][1].shape[1]
+    if vocab_size is not None and emb[0][1].shape[0] != vocab_size:
+        raise TorchImportError(
+            f"embedding vocab {emb[0][1].shape[0]} != expected {vocab_size}")
+
+    # --- LSTM cells --------------------------------------------------------
+    # Joint checkpoints hold BOTH an encoder nn.LSTM (``weight_ih_l{k}``) and
+    # decoder nn.LSTMCells (plain ``weight_ih``); cell-style keys take
+    # priority so the listener's recurrence never leaks into the decoder.
+    matches = [(k, _CELL_RE.search(k)) for k, _v in items]
+    matches = [(k, m) for k, m in matches if m]
+    cell_style = [(k, m) for k, m in matches if m.group(2) is None]
+    if cell_style:
+        matches = cell_style
+    cells: dict[int, dict[str, Any]] = {}
+    for k, m in matches:
+        idx = int(m.group(1) or m.group(2) or 0)
+        suf = f"_l{m.group(2)}" if m.group(2) else ""
+        prefix = k[: len(k) - len("weight_ih") - len(suf)]
+        try:
+            cells[idx] = dict(
+                w_ih=state_dict[f"{prefix}weight_ih{suf}"],
+                w_hh=state_dict[f"{prefix}weight_hh{suf}"],
+                b_ih=state_dict[f"{prefix}bias_ih{suf}"],
+                b_hh=state_dict[f"{prefix}bias_hh{suf}"])
+        except KeyError as e:
+            raise TorchImportError(f"incomplete LSTM cell {k}: {e}") from e
+    if not cells or sorted(cells) != list(range(len(cells))):
+        raise TorchImportError(f"bad LSTM cell layer set: {sorted(cells)}")
+    for layer in sorted(cells):
+        c = cells[layer]
+        want_in = (E + D) if layer == 0 else H
+        wx = _np(c["w_ih"]).T
+        if wx.shape != (want_in, 4 * H):
+            raise TorchImportError(
+                f"cell {layer} weight_ih {wx.shape} != ({want_in}, {4 * H}) "
+                f"(layer 0 input is [embedding, context])")
+        bias = _np(c["b_ih"]) + _np(c["b_hh"])
+        bias[H:2 * H] -= 1.0          # our step adds +1 to the forget gate
+        out[f"lstm{layer}_wx"] = wx
+        out[f"lstm{layer}_wh"] = _np(c["w_hh"]).T
+        out[f"lstm{layer}_b"] = bias
+
+    # --- location conv -----------------------------------------------------
+    loc = [(k, _np(v)) for k, v in items
+           if getattr(v, "ndim", np.ndim(v)) == 3 and k.endswith("weight")
+           and _np(v).shape[1] == 1]
+    if len(loc) != 1:
+        raise TorchImportError(
+            f"expected one location Conv1d(1, F, K), found "
+            f"{[k for k, _ in loc]}")
+    if loc[0][1].shape[0] != F:
+        raise TorchImportError(
+            f"location filters {loc[0][1].shape[0]} != configured {F}")
+    out["loc_filter"] = np.transpose(loc[0][1], (2, 1, 0))   # (K, 1, F)
+
+    # --- attention MLP + output, by shape ----------------------------------
+    used = {emb[0][0]} | {k for k, _ in loc}
+    lstm_keys = {k for k, _ in items if "weight_ih" in k or "weight_hh" in k}
+    lin2 = [(k, _np(v)) for k, v in items
+            if getattr(v, "ndim", np.ndim(v)) == 2 and k.endswith("weight")
+            and k not in used and k not in lstm_keys]
+    b_att = np.zeros((A,), np.float32)
+
+    def grab(shape, hint=None, required=True):
+        hits = [(k, w) for k, w in lin2 if w.shape == shape]
+        if len(hits) > 1 and hint:
+            named = [(k, w) for k, w in hits if hint in k.lower()]
+            if len(named) == 1:
+                hits = named
+        if len(hits) != 1:
+            if required:
+                raise TorchImportError(
+                    f"cannot identify the {shape} attention linear uniquely: "
+                    f"{[k for k, _ in hits]} (use distinct dims or "
+                    f"'query'/'memory' name hints)")
+            return None
+        k, w = hits[0]
+        lin2.remove(hits[0])
+        return k, w
+
+    def linear_t(k, w):
+        nonlocal b_att
+        b = state_dict.get(k[:-len("weight")] + "bias")
+        if b is not None and w.shape[0] == A:
+            b_att = b_att + _np(b)
+        return w.T
+
+    k_s, w_s = grab((A, H), hint="query")
+    k_e, w_e = grab((A, D), hint="memory")
+    out["w_s"] = linear_t(k_s, w_s)
+    out["w_e"] = linear_t(k_e, w_e)
+    k_f, w_f = grab((A, F))
+    out["w_f"] = linear_t(k_f, w_f)
+    k_v, w_v = grab((1, A))
+    out["v_att"] = w_v.T
+    out["b_att"] = b_att
+    k_o, w_o = grab((emb[0][1].shape[0], H + D))
+    out["w_out"] = w_o.T
+    b_o = state_dict.get(k_o[:-len("weight")] + "bias")
+    out["b_out"] = (_np(b_o) if b_o is not None
+                    else np.zeros(w_o.shape[0], np.float32))
+    return out
+
+
+def import_torch_las(state_dict: Mapping[str, Any], num_mel_bins: int,
+                     hidden_dim: int, attention_dim: int, enc_dim: int,
+                     location_filters: int, vocab_size: int | None = None,
+                     freq_stride: int = 2,
+                     with_encoder: bool = True) -> dict[str, Any]:
+    """Full LAS / joint-CTC-attention checkpoint (BASELINE configs 4/5):
+    conv+BiLSTM listener + ctc head (reusing the DS2 importer) + attention
+    decoder under the ``las`` subtree (models/asr_model.py names it so)."""
+    out: dict[str, Any] = {}
+    if with_encoder:
+        out = import_torch_bilstm_ctc(state_dict, num_mel_bins,
+                                      vocab_size=vocab_size,
+                                      freq_stride=freq_stride)
+    out["las"] = import_torch_las_decoder(
+        state_dict, hidden_dim=hidden_dim, attention_dim=attention_dim,
+        enc_dim=enc_dim, location_filters=location_filters,
+        vocab_size=vocab_size)
+    return out
 
 
 def load_torch_checkpoint(path: str) -> Mapping[str, Any]:

@@ -16,10 +16,14 @@ import numpy as np
 
 from pytorch_asr_tpu.configs.base import ExperimentConfig
 from pytorch_asr_tpu.data import BucketedDataset, build_dataset, get_tokenizer
-from pytorch_asr_tpu.decoding.wer import corpus_cer, corpus_wer
+from pytorch_asr_tpu.decoding.eval_metrics import (
+    local_hyps_refs as _local_hyps_refs,
+    reduce_decode_metrics as _reduce_decode_metrics,
+)
 from pytorch_asr_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
+    shard_batch_global,
     shard_params,
     use_mesh,
 )
@@ -69,6 +73,7 @@ class Trainer:
         self.mesh = make_mesh(cfg.mesh, batch_size=cfg.data.batch_size)
         self.tensor_parallel = self.mesh.shape["model"] > 1
         self.tp_directions = False
+        self.tp_tcn_pallas = False
         if self.tensor_parallel and getattr(cfg.model.encoder, "use_pallas", False):
             import dataclasses
 
@@ -87,10 +92,19 @@ class Trainer:
                 cfg = dataclasses.replace(cfg, model=dataclasses.replace(
                     cfg.model, encoder=dataclasses.replace(
                         enc, tp_directions=True)))
+            elif (getattr(enc, "kind", "") == "tcn" and pallas_active()
+                  and enc.channels % self.mesh.shape["model"] == 0):
+                # TCN keeps the fused Pallas kernels under ANY model axis:
+                # each shard runs the block body on a GLU-pair-aware channel
+                # slice + psum (encoder_tcn.py::TCNBlock._tp_pallas) — no
+                # per-step recurrence obstacle.  Weights stay replicated at
+                # rest (the shard_map body slices locally for free), so the
+                # placement rule set is EMPTY.
+                self.tp_tcn_pallas = True
             else:
-                # Gate-dim TP (model axis > 2, or no bidirectional pair to
-                # shard): the fused kernel needs the full (D, 4H) weights per
-                # device, so the recurrence runs the lax.scan path, which
+                # Gate-dim TP (LSTM model axis > 2, or no bidirectional pair
+                # to shard): the fused kernel needs the full (D, 4H) weights
+                # per device, so the recurrence runs the lax.scan path, which
                 # GSPMD partitions over the sharded gate dim.
                 cfg = dataclasses.replace(cfg, model=dataclasses.replace(
                     cfg.model, encoder=dataclasses.replace(
@@ -123,11 +137,15 @@ class Trainer:
         if self.tensor_parallel:
             from pytorch_asr_tpu.parallel.sharding import DIRECTION_TP_RULES
 
-            rules = DIRECTION_TP_RULES if self.tp_directions else None
+            if self.tp_directions:
+                rules, tp_mode = DIRECTION_TP_RULES, "directions"
+            elif self.tp_tcn_pallas:
+                rules, tp_mode = (), "tcn_pallas"   # all replicated at rest
+            else:
+                rules, tp_mode = None, "gate_dims"  # default RULES
             place = lambda t: shard_params_tp(t, self.mesh, rules)  # noqa: E731
             self.metrics.log(
-                "mesh", layout=dict(self.mesh.shape),
-                tp_mode="directions" if self.tp_directions else "gate_dims",
+                "mesh", layout=dict(self.mesh.shape), tp_mode=tp_mode,
                 sharded_params=sorted(
                     describe_shardings(self.state.params, self.mesh, rules)))
         else:
@@ -145,7 +163,14 @@ class Trainer:
                 self.train_iter.set_state(it_state)
             self.metrics.log("restore", step=int(self.state.step))
         self._train_step = jax.jit(make_train_step(cfg, self.model), donate_argnums=0)
-        self._eval_step = jax.jit(make_eval_step(cfg, self.model))
+        # Eval outputs PINNED to the batch sharding: multi-host eval fetches
+        # each process's addressable rows, so outputs must stay 'data'-sharded
+        # (an XLA-chosen replicated layout would double-count utterances).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out_sh = NamedSharding(self.mesh, P("data"))
+        self._eval_step = jax.jit(make_eval_step(cfg, self.model),
+                                  out_shardings=(out_sh, out_sh))
 
     # ------------------------------------------------------------------ train
     def train(self, num_steps: int, batches: Iterator[dict] | None = None) -> dict:
@@ -188,17 +213,42 @@ class Trainer:
         return self.train_iter.get_state() if self.train_iter is not None else None
 
     def _import_torch(self, path: str, params: dict) -> dict:
-        """Initialize encoder + CTC head from a reference torch checkpoint
-        (SURVEY.md §2.1 'parity checkpoints'; training/torch_import.py)."""
+        """Initialize the model from a reference torch checkpoint
+        (SURVEY.md §2.1 'parity checkpoints'; training/torch_import.py).
+
+        Dispatches on the configured architecture, so every BASELINE config
+        family imports: conv+BiLSTM (configs 1/2), TCN (config 3), and the
+        LAS decoder subtree for attention/joint models (configs 4/5).
+        """
         from pytorch_asr_tpu.training.torch_import import (
-            TorchImportError, import_torch_bilstm_ctc, load_torch_checkpoint)
+            TorchImportError,
+            import_torch_bilstm_ctc,
+            import_torch_las_decoder,
+            import_torch_tcn_ctc,
+            load_torch_checkpoint,
+        )
 
         enc_cfg = self.cfg.model.encoder
-        imported = import_torch_bilstm_ctc(
-            load_torch_checkpoint(path),
-            num_mel_bins=self.cfg.frontend.n_mels,
-            vocab_size=self.tokenizer.vocab_size,
-            freq_stride=enc_cfg.conv_stride[1])
+        sd = load_torch_checkpoint(path)
+        if getattr(enc_cfg, "kind", "bilstm") == "tcn":
+            imported = import_torch_tcn_ctc(
+                sd, num_mel_bins=self.cfg.frontend.n_mels,
+                vocab_size=self.tokenizer.vocab_size)
+        else:
+            imported = import_torch_bilstm_ctc(
+                sd, num_mel_bins=self.cfg.frontend.n_mels,
+                vocab_size=self.tokenizer.vocab_size,
+                freq_stride=enc_cfg.conv_stride[1])
+        if self.cfg.model.decoder is not None:
+            from pytorch_asr_tpu.models.asr_model import encoder_output_dim
+
+            dec = self.cfg.model.decoder
+            imported["las"] = import_torch_las_decoder(
+                sd, hidden_dim=dec.hidden_dim,
+                attention_dim=dec.attention_dim,
+                enc_dim=encoder_output_dim(self.cfg.model),
+                location_filters=dec.location_filters,
+                vocab_size=self.tokenizer.vocab_size)
         merged = {**params, **imported}
         for sub in imported:
             want = jax.tree.map(np.shape, params[sub])
@@ -226,7 +276,15 @@ class Trainer:
                                   dump_path=dump_path)
 
     def evaluate(self, max_batches: int | None = None) -> dict:
-        """Greedy-decode WER over the eval dataset."""
+        """Greedy-decode WER over the eval dataset.
+
+        Multi-host-safe (SURVEY.md §2.4 / VERDICT r2 item 2): every process
+        iterates the SAME eval batches (shapes agree at every collective
+        step), contributes its row block via ``shard_batch_global``, fetches
+        only its addressable output rows, and the error/token COUNTS are
+        summed across processes — never a global-array fetch, which raises
+        on a multi-host mesh.
+        """
         refs: list[str] = []
         hyps: list[str] = []
         t0 = time.perf_counter()
@@ -234,24 +292,16 @@ class Trainer:
         for i, host_batch in enumerate(self.eval_dataset.epoch_batches(seed=0)):
             if max_batches is not None and i >= max_batches:
                 break
-            batch = shard_batch(self.mesh, host_batch)
+            batch = shard_batch_global(self.mesh, host_batch)
             with use_mesh(self.mesh):
                 ids, n = self._eval_step(eval_params(self.state), batch)
-            ids, n = np.asarray(ids), np.asarray(n)
-            valid = host_batch["audio_len"] > 0
-            audio_sec += float(host_batch["audio_len"].sum()) / self.cfg.frontend.sample_rate
-            for b in np.where(valid)[0]:
-                hyps.append(self.tokenizer.decode(ids[b, : n[b]]))
-                refs.append(self.tokenizer.decode(
-                    host_batch["tokens"][b, : host_batch["token_len"][b]]))
-        wer = corpus_wer(refs, hyps)
-        dt = time.perf_counter() - t0
-        result = {
-            "wer": wer,
-            "cer": corpus_cer(refs, hyps),
-            "num_utts": len(refs),
-            "decode_rtf": dt / max(audio_sec, 1e-9),
-            "step": int(self.state.step),
-        }
+            r, h, a_sec = _local_hyps_refs(self.tokenizer, batch, ids, n,
+                                           self.cfg.frontend.sample_rate)
+            refs.extend(r)
+            hyps.extend(h)
+            audio_sec += a_sec
+        result = _reduce_decode_metrics(refs, hyps, audio_sec,
+                                        time.perf_counter() - t0)
+        result["step"] = int(self.state.step)
         self.metrics.log("eval", **result)
         return result

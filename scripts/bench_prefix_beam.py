@@ -52,6 +52,48 @@ def main() -> None:
 
     measure("xla scan  ", lambda: pb.prefix_beam_search(
         logits, lens, beam_size=K, use_fused=False))
+
+    # ---- LM-fusion arms (VERDICT r2 item 5: decode RTF per fusion source) --
+    if kv.get("lm", "1") == "1":
+        # dense table at this vocab (char-scale contexts)
+        n_ctx = min(V * V, 4096)
+        table = jnp.asarray(
+            np.log(rng.dirichlet(np.ones(V), size=n_ctx)).astype(np.float32))
+        measure("dense LM  ", lambda: pb.prefix_beam_search(
+            logits, lens, beam_size=K, lm_table=table,
+            lm_alpha=0.5, lm_beta=1.0, use_fused=False))
+
+        # hashed backoff tables (the BPE/large-vocab production path):
+        # synthetic 3-gram tables sized like a real KN model at this vocab.
+        from pytorch_asr_tpu.decoding.lm_hashed import HashedNgramLM, HashTable
+
+        def synth_table(n_slots, V):
+            cap = 1 << int(np.ceil(np.log2(max(n_slots * 2, 8))))
+            return HashTable(
+                k1=jnp.asarray(rng.integers(1, 2**31, cap).astype(np.int32)),
+                k2=jnp.asarray(rng.integers(1, 2**31, cap).astype(np.int32)),
+                val=jnp.asarray(rng.standard_normal(cap).astype(np.float32)))
+
+        hl = HashedNgramLM(
+            uni=jnp.asarray(np.log(rng.dirichlet(np.ones(V))).astype(np.float32)),
+            uni_backoff=jnp.zeros((V,), jnp.float32),
+            probs=(synth_table(8 * V, V), synth_table(32 * V, V)),
+            backoffs=(synth_table(8 * V, V),))
+        measure("hashed LM ", lambda: pb.prefix_beam_search(
+            logits, lens, beam_size=K, hash_lm=hl,
+            lm_alpha=0.5, lm_beta=1.0, use_fused=False))
+
+        # RNN LM fusion: per-beam (h, c) carried with the hypotheses.
+        from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
+
+        rnn = CharRNNLM(RNNLMConfig(embed_dim=64, hidden_dim=256,
+                                    num_layers=1), vocab_size=V)
+        rnn_params = rnn.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 4), jnp.int32))["params"]
+        measure("rnn LM    ", lambda: pb.prefix_beam_search(
+            logits, lens, beam_size=K, rnn_lm=rnn, rnn_lm_params=rnn_params,
+            lm_alpha=0.5, lm_beta=1.0, sos_id=V - 1, use_fused=False))
+
     if kv.get("fused", "0") == "1":
         # opt-in: exact but ~360x slower than the scan on v5e today
         # (see ops/beam_pallas.py STATUS note)

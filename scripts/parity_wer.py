@@ -46,11 +46,16 @@ def main(argv: list[str] | None = None) -> dict:
     max_batches = kv.pop("max_batches", None)
     max_batches = int(max_batches) if max_batches else None
 
+    # config=<name> picks the BASELINE config family: the torch importer
+    # dispatches on it (conv+BiLSTM / TCN / LAS / joint — all five configs
+    # can be certified the day a reference checkpoint appears).
+    config_name = kv.pop("config", "ctc_bilstm_dev1h")
+
     from pytorch_asr_tpu.configs import get_config
     from pytorch_asr_tpu.configs.base import apply_overrides
     from pytorch_asr_tpu.training.trainer import Trainer
 
-    cfg = get_config("ctc_bilstm_dev1h", **kv)
+    cfg = get_config(config_name, **kv)
     data = dataclasses.replace(
         cfg.data,
         librispeech_root="" if root == "synthetic" else root,
@@ -59,9 +64,17 @@ def main(argv: list[str] | None = None) -> dict:
 
     trainer = Trainer(cfg, enable_checkpoints=False, init_from_torch=ckpt)
 
-    methods = [("greedy", {}), ("prefix_beam", {})]
+    # Decode methods appropriate to the family: CTC models decode greedy +
+    # prefix beam; attention models add their beam; joint adds joint-score.
+    if cfg.model.decoder is None:
+        methods = [("greedy", {}), ("prefix_beam", {})]
+    elif cfg.model.ctc_weight > 0:
+        methods = [("greedy", {}), ("prefix_beam", {}), ("joint_beam", {})]
+    else:
+        methods = [("attention_beam", {})]
     if lm_path:
-        methods.append(("prefix_beam_lm", {"lm_path": lm_path}))
+        methods.append((methods[-1][0].replace("_lm", "") + "_lm",
+                        {"lm_path": lm_path}))
 
     report = {
         "librispeech_root": root,

@@ -107,6 +107,39 @@ def run_steps(cfg, mesh, local_batch, steps: int = 2,
     return losses
 
 
+def eval_cfg():
+    """Config for the multi-host eval/decode parity check (import-safe).
+
+    batch_size 8 keeps the data axis at all 8 global devices (4 per process)
+    so both processes own rows of every eval batch.
+    """
+    import dataclasses
+
+    cfg = tiny_cfg()
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, batch_size=8, bucket_audio_lens=(64000,),
+            bucket_label_lens=(64,), synthetic_num_utts=20),
+        decode=dataclasses.replace(cfg.decode, method="prefix_beam",
+                                   beam_size=4),
+    )
+
+
+def run_eval_decode():
+    """Greedy eval + prefix-beam decode through the REAL Trainer/driver
+    multi-host path (shard_batch_global -> per-process row fetch ->
+    count-sum reduction).  Returns corpus metrics; must equal the
+    single-process run bit-for-bit on wer/cer/num_utts."""
+    from pytorch_asr_tpu.training.trainer import Trainer
+
+    tr = Trainer(eval_cfg(), enable_checkpoints=False)
+    ev = tr.evaluate(max_batches=2)
+    dec = tr.decode_eval(max_batches=1)
+    pick = lambda d: {k: d[k] for k in ("wer", "cer", "num_utts")}  # noqa: E731
+    return {"eval": pick(ev), "decode": pick(dec)}
+
+
 def _utt_keys(it, n_batches: int) -> list[str]:
     """Stable per-utterance fingerprints from a bucketed iterator."""
     import hashlib
@@ -163,6 +196,9 @@ def main() -> None:
     mesh_tp = make_mesh(MeshConfig(model_axis=2))
     tp_losses = run_steps(cfg, mesh_tp, local, tensor_parallel=True)
 
+    # Multi-host eval + decode parity (VERDICT r2 item 2).
+    eval_decode = run_eval_decode()
+
     # Primary-gated writes (reference: rank 0 logs/saves).
     if distributed.is_primary():
         with open(os.path.join(outdir, "primary.marker"), "w") as fh:
@@ -171,6 +207,7 @@ def main() -> None:
     with open(os.path.join(outdir, f"result_{pid}.json"), "w") as fh:
         json.dump({"topology": topo, "losses": losses,
                    "tp_losses": tp_losses,
+                   "eval_decode": eval_decode,
                    "tp_mesh_shape": {k: int(v) for k, v in mesh_tp.shape.items()},
                    "utt_keys": utt_keys,
                    "mesh_shape": {k: int(v) for k, v in mesh.shape.items()},

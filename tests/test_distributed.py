@@ -112,6 +112,28 @@ def test_multiprocess_tensor_parallel(two_process_run):
     np.testing.assert_allclose(results[0]["tp_losses"], ref, rtol=1e-5)
 
 
+def test_multiprocess_eval_decode_matches_single_process(two_process_run):
+    """Greedy eval + prefix-beam decode on the 2-process mesh: each process
+    fetches only its addressable rows, WER counts all-reduce — the corpus
+    metrics must agree across processes AND with a single-process run
+    (VERDICT r2 item 2)."""
+    _, results = two_process_run
+    ed0, ed1 = results[0]["eval_decode"], results[1]["eval_decode"]
+    assert ed0 == ed1, "processes disagree on reduced corpus metrics"
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("distributed_worker", WORKER)
+    worker = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(worker)
+    ref = worker.run_eval_decode()   # single process, 8 local virtual devices
+    for phase in ("eval", "decode"):
+        assert ed0[phase]["num_utts"] == ref[phase]["num_utts"] > 0
+        np.testing.assert_allclose(ed0[phase]["wer"], ref[phase]["wer"],
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(ed0[phase]["cer"], ref[phase]["cer"],
+                                   rtol=0, atol=0)
+
+
 def test_distributed_loss_matches_single_process(two_process_run):
     _, results = two_process_run
     l0, l1 = results[0]["losses"], results[1]["losses"]

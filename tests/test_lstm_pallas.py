@@ -75,6 +75,37 @@ def test_lstm_pallas_grad_parity(reverse):
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_pallas_grad_parity_partial_last_block(reverse):
+    """Backward over an UNPADDED partial last block (T >= tc, T % tc != 0).
+
+    At B=4 _pick_tc gives tc=32, so T=40 exercises the partial-block OOB
+    sanitization in _bwd_kernel (t_total path).  One sequence has length == T:
+    for the reverse direction that makes natural step T-1 a VALID first
+    processed step whose entering state must be the initial zeros — the exact
+    row the pre-shift ct/o_all sanitize exists for."""
+    from pytorch_asr_tpu.ops.lstm_pallas import _pick_tc
+
+    B, T = 4, 40
+    assert T >= _pick_tc(B) and T % _pick_tc(B) != 0
+    x, wih, whh, bias, lengths = _case(13, B=B, T=T, D=12, H=8)
+    lengths = lengths.at[0].set(T)      # full-length row hits t_total - 1
+
+    def loss_pallas(x_, wih_, whh_, b_):
+        return jnp.sum(jnp.tanh(lstm_seq(x_, wih_, whh_, b_, lengths, reverse,
+                                         None, jnp.float32)))
+
+    def loss_ref(x_, wih_, whh_, b_):
+        return jnp.sum(jnp.tanh(_ref(x_, wih_, whh_, b_, lengths, reverse)))
+
+    with pltpu.force_tpu_interpret_mode():
+        gs_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, wih, whh, bias)
+    gs_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, wih, whh, bias)
+    for name, p, r in zip(("dx", "dwih", "dwhh", "dbias"), gs_p, gs_r):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_lstm_pallas_zero_length_rows():
     x, wih, whh, bias, lengths = _case(5)
     lengths = lengths.at[0].set(0)

@@ -86,6 +86,40 @@ def test_lstm_kernel_grads_close_on_tpu(reverse):
         assert rel < 0.02, f"{nm}: rel {rel:.3e}"
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_kernel_grads_partial_block_on_tpu(reverse):
+    """Partial-last-block backward on real hardware, where OOB block-load
+    bits are genuinely undefined (interpret mode gives defined padding, so
+    CPU tests cannot reproduce this hazard).  T=100 with tc=32 leaves a
+    4-row partial block; one sequence is full-length so the reverse chain's
+    first processed step sits at t_total-1."""
+    from pytorch_asr_tpu.models.encoder_bilstm import _lstm_scan
+    from pytorch_asr_tpu.ops.lstm_pallas import _pick_tc, lstm_seq
+
+    B, T = 32, 100
+    assert T >= _pick_tc(B) and T % _pick_tc(B) != 0
+    x, wih, whh, b, lens = _lstm_case(B=B, T=T)
+    lens = lens.at[0].set(T)
+
+    def loss_k(x, wih, whh, b):
+        return jnp.sum(jnp.tanh(lstm_seq(x, wih, whh, b, lens, reverse)))
+
+    def loss_r(x, wih, whh, b):
+        xp = jnp.swapaxes((x @ wih + b).astype(jnp.float32), 0, 1)
+        valid = jnp.arange(T)[:, None] < lens[None, :]
+        hs = _lstm_scan(xp, whh, valid, reverse=reverse)
+        hs = jnp.where(valid[..., None], hs, 0.0)
+        return jnp.sum(jnp.tanh(hs))
+
+    gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2, 3)))(x, wih, whh, b)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2, 3)))(x, wih, whh, b)
+    for nm, a, c in zip(("dx", "dwih", "dwhh", "db"), gk, gr):
+        assert np.all(np.isfinite(np.asarray(a))), f"{nm}: non-finite"
+        scale = np.abs(np.asarray(c)).max() + 1e-6
+        rel = np.abs(np.asarray(a) - np.asarray(c)).max() / scale
+        assert rel < 0.02, f"{nm}: rel {rel:.3e}"
+
+
 def test_stft_kernel_parity_on_tpu():
     from pytorch_asr_tpu.configs.base import FrontendConfig
     from pytorch_asr_tpu.frontend import features
