@@ -199,6 +199,11 @@ class DecodeConfig:
     # "hashed" (open-addressing device hash tables, BPE/large vocabs), or
     # "auto" (dense while V^order fits 64M floats, hashed beyond).
     lm_backend: str = "auto"
+    # Acoustic-pruned hashed-LM fusion: exact table lookups only for each
+    # frame's top-A acoustic candidates (others get the stacked-backoff
+    # approximation).  0 = exact for all V.  Only affects hashed backends;
+    # measured 15x decode speedup at V=1024 (scripts/bench_prefix_beam.py).
+    lm_top_k: int = 0
     # attention/joint beam
     max_decode_len: int = 256
     length_norm: float = 1.0

@@ -127,7 +127,8 @@ def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None,
                 lm_beta=cfg.decode.lm_beta if has_lm else 0.0,
                 max_len=cfg.decode.max_decode_len,
                 rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
-                sos_id=tok.sos_id, hash_lm=hash_lm)
+                sos_id=tok.sos_id, hash_lm=hash_lm,
+                lm_top_k=getattr(cfg.decode, "lm_top_k", 0))
             return toks, lens
 
         return decode_fn

@@ -7,9 +7,10 @@ trains (``data/bpe.py``): a 1k-piece trigram would be 10^9 floats.  SURVEY.md
 expansion; this is it — the TPU-native analogue of KenLM's probing hash table
 (KenLM is the C++ component the reference binds):
 
-  * one open-addressing table per n-gram order (keys = two independent
-    32-bit FNV-1a hashes of the id sequence, linear probing, load <= 0.5),
-    plus dense (V,) arrays for unigram probs / single-token backoffs;
+  * one 8-way set-associative table per n-gram order (keys = two
+    independent 32-bit FNV-1a hashes of the id sequence; one packed row
+    gather per lookup — see HashTable), plus dense (V,) arrays for unigram
+    probs / single-token backoffs;
   * all tables are device arrays in HBM; the FULL Katz backoff recursion
     evaluates on device, vectorized over (B, K, V) extension candidates —
     no host round-trips, matching the BASELINE north-star requirement that
@@ -44,14 +45,23 @@ _BASIS1, _PRIME1 = np.uint32(0x811C9DC5), np.uint32(0x01000193)
 _BASIS2, _PRIME2 = np.uint32(0x9747B28C), np.uint32(0x85EBCA6B)
 _EMPTY = np.int32(-2147483648)     # empty-slot key sentinel (both halves)
 _UNK_LOGP = -20.0                  # host BackoffLM's missing-unigram score
-MAX_PROBES = 8
+BUCKET = 8                         # ways per bucket (one sublane row)
+MAX_PROBES = BUCKET                # kept for external references
 
 
 class HashTable(NamedTuple):
-    """Open-addressing table: (h1, h2) int32 keys -> f32 value."""
-    k1: jax.Array      # (S,) int32
-    k2: jax.Array      # (S,) int32
-    val: jax.Array     # (S,) f32
+    """8-way set-associative table: ONE packed row gather per lookup.
+
+    Round-2 measured the linear-probing layout at 3.2 ms/frame in the beam
+    (30x the acoustic scan): 8 probes x 3 scalar gathers per level dominate.
+    This layout gathers a single (32,)-lane row per query — bucket
+    ``h1 & mask`` holds all candidate ways — and resolves the match in
+    vector registers: 24 gathers/level -> 1.
+
+    ``data[b] = [k1 x8 | k2 x8 | val x8 | pad x8]`` with int32 keys BITCAST
+    into the f32 lanes (bit patterns survive gathers untouched).
+    """
+    data: jax.Array    # (n_buckets, 32) f32
 
 
 class HashedNgramLM(NamedTuple):
@@ -85,28 +95,35 @@ def _hash_pair_np(ids: tuple) -> tuple[np.uint32, np.uint32]:
 
 def _build_table(entries: dict[tuple, float]) -> HashTable:
     n = max(len(entries), 1)
-    size = 1
-    while size < 4 * n:               # load factor <= 0.25
-        size *= 2
-    mask = size - 1
-    k1 = np.full((size,), _EMPTY, np.int32)
-    k2 = np.full((size,), _EMPTY, np.int32)
-    val = np.zeros((size,), np.float32)
-    for ng, v in entries.items():
-        h1, h2 = _hash_pair_np(ng)
-        s1, s2 = np.int32(h1), np.int32(h2)
-        slot = int(h1) & mask
-        for probe in range(MAX_PROBES + 1):
-            if probe == MAX_PROBES:
-                raise ValueError(
-                    f"hash table probe overflow at load {n}/{size}")
-            cur = (slot + probe) & mask
-            if k1[cur] == _EMPTY and k2[cur] == _EMPTY:
-                k1[cur], k2[cur], val[cur] = s1, s2, np.float32(v)
-                break
-            if k1[cur] == s1 and k2[cur] == s2:
+    n_buckets = 1
+    while n_buckets * BUCKET < 4 * n:        # load factor <= 0.25
+        n_buckets *= 2
+    while True:
+        mask = n_buckets - 1
+        k1 = np.full((n_buckets, BUCKET), _EMPTY, np.int32)
+        k2 = np.full((n_buckets, BUCKET), _EMPTY, np.int32)
+        val = np.zeros((n_buckets, BUCKET), np.float32)
+        fill = np.zeros((n_buckets,), np.int32)
+        ok = True
+        for ng, v in entries.items():
+            h1, h2 = _hash_pair_np(ng)
+            s1, s2 = np.int32(h1), np.int32(h2)
+            b = int(h1) & mask
+            ways = fill[b]
+            if np.any((k1[b, :ways] == s1) & (k2[b, :ways] == s2)):
                 raise ValueError(f"64-bit hash collision for ngram {ng}")
-    return HashTable(jnp.asarray(k1), jnp.asarray(k2), jnp.asarray(val))
+            if ways == BUCKET:               # bucket overflow: grow + rebuild
+                ok = False
+                break
+            k1[b, ways], k2[b, ways], val[b, ways] = s1, s2, np.float32(v)
+            fill[b] = ways + 1
+        if ok:
+            break
+        n_buckets *= 2
+    data = np.concatenate(
+        [k1.view(np.float32), k2.view(np.float32), val,
+         np.zeros((n_buckets, BUCKET), np.float32)], axis=1)
+    return HashTable(jnp.asarray(data))
 
 
 def build_hashed_lm(lm: BackoffLM, vocab_size: int) -> HashedNgramLM:
@@ -142,53 +159,76 @@ def _fold(h1, h2, x):
 
 
 def _lookup(table: HashTable, h1, h2):
-    """(found, value) for hash pairs of any shape; MAX_PROBES linear probes."""
-    size = table.k1.shape[0]
-    mask = jnp.uint32(size - 1)
-    s1 = h1.astype(jnp.int32)
-    s2 = h2.astype(jnp.int32)
-    base = h1 & mask
-    found = jnp.zeros(h1.shape, bool)
-    value = jnp.zeros(h1.shape, jnp.float32)
-    for probe in range(MAX_PROBES):
-        slot = ((base + probe) & mask).astype(jnp.int32)
-        hit = (table.k1[slot] == s1) & (table.k2[slot] == s2) & ~found
-        value = jnp.where(hit, table.val[slot], value)
-        found = found | hit
-    return found, value
+    """(found, value) for hash pairs of any shape: one packed row gather,
+    match resolved across the bucket's 8 ways in vector registers."""
+    n_buckets = table.data.shape[0]
+    mask = jnp.uint32(n_buckets - 1)
+    rows = table.data[(h1 & mask).astype(jnp.int32)]         # (..., 4*BUCKET)
+    k1 = jax.lax.bitcast_convert_type(rows[..., :BUCKET], jnp.int32)
+    k2 = jax.lax.bitcast_convert_type(rows[..., BUCKET:2 * BUCKET], jnp.int32)
+    val = rows[..., 2 * BUCKET:3 * BUCKET]
+    hit = (k1 == h1.astype(jnp.int32)[..., None]) \
+        & (k2 == h2.astype(jnp.int32)[..., None])            # (..., BUCKET)
+    # keys are unique within a bucket -> at most one way hits
+    return jnp.any(hit, axis=-1), jnp.sum(jnp.where(hit, val, 0.0), axis=-1)
 
 
-def hashed_lm_logp_rows(lm: HashedNgramLM, ctx: jax.Array) -> jax.Array:
-    """log P(c | ctx) for ALL c — ctx (..., C) int32 (C = order-1, oldest
-    first, 0 = no history like the dense table) -> (..., V) f32."""
-    V = lm.vocab_size
+def _context_level(lm: HashedNgramLM, ctx: jax.Array, n: int):
+    """(valid, bo, h1, h2) for order-n lookups of a (..., C) context."""
     C = ctx.shape[-1]
-    N = lm.order
-    cands = jnp.arange(V, dtype=jnp.int32)
+    V = lm.vocab_size
+    m = n - 1                                        # context length used
+    suffix = ctx[..., C - m:]                        # (..., m)
+    valid = jnp.all(suffix != 0, axis=-1)            # shorter history -> skip
     shape = ctx.shape[:-1]
+    h1 = jnp.full(shape, int(_BASIS1), jnp.uint32)
+    h2 = jnp.full(shape, int(_BASIS2), jnp.uint32)
+    for j in range(m):
+        h1, h2 = _fold(h1, h2, suffix[..., j])
+    # backoff weight of this context (applied when the n-gram misses)
+    if m == 1:
+        bo = lm.uni_backoff[jnp.clip(suffix[..., 0], 0, V - 1)]
+        bo_found = jnp.ones(shape, bool)
+    else:
+        bo_found, bo = _lookup(lm.backoffs[m - 2], h1, h2)
+    return valid, jnp.where(valid & bo_found, bo, 0.0), h1, h2
+
+
+def hashed_lm_logp_rows(lm: HashedNgramLM, ctx: jax.Array,
+                        cands: jax.Array | None = None) -> jax.Array:
+    """log P(c | ctx) — ctx (..., C) int32 (C = order-1, oldest first,
+    0 = no history like the dense table).
+
+    ``cands`` None: score ALL tokens -> (..., V).  Otherwise an int32
+    (..., A) candidate subset -> (..., A) (the acoustic-pruned fusion path:
+    table gathers scale with A, not V)."""
+    V = lm.vocab_size
+    N = lm.order
+    if cands is None:
+        cands = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32),
+                                 ctx.shape[:-1] + (V,))
 
     # Bottom-up recursion; level 1 is the dense unigram row.
-    score = jnp.broadcast_to(lm.uni, shape + (V,))
+    score = lm.uni[jnp.clip(cands, 0, V - 1)]
     for n in range(2, N + 1):
-        m = n - 1                                    # context length used
-        suffix = ctx[..., C - m:]                    # (..., m)
-        valid = jnp.all(suffix != 0, axis=-1)        # shorter history -> skip
-        # hash of the context prefix, then fold each candidate token
-        h1 = jnp.full(shape, int(_BASIS1), jnp.uint32)
-        h2 = jnp.full(shape, int(_BASIS2), jnp.uint32)
-        for j in range(m):
-            h1, h2 = _fold(h1, h2, suffix[..., j])
-        # backoff weight of this context (applied when the n-gram misses)
-        if m == 1:
-            bo = lm.uni_backoff[jnp.clip(suffix[..., 0], 0, V - 1)]
-            bo_found = jnp.ones(shape, bool)
-        else:
-            bo_found, bo = _lookup(lm.backoffs[m - 2], h1, h2)
-        bo = jnp.where(valid & bo_found, bo, 0.0)
+        valid, bo, h1, h2 = _context_level(lm, ctx, n)
         ch1, ch2 = _fold(h1[..., None], h2[..., None], cands)
         found, val = _lookup(lm.probs[n - 2], ch1, ch2)
         found = found & valid[..., None]
         score = jnp.where(found, val, bo[..., None] + score)
+    return score
+
+
+def hashed_lm_allmiss_rows(lm: HashedNgramLM, ctx: jax.Array) -> jax.Array:
+    """The every-level-miss approximation: stacked context backoffs + the
+    unigram row.  Exact for any candidate absent from every higher-order
+    table — the overwhelmingly common case — at per-CONTEXT (not
+    per-candidate) lookup cost.  Fills the non-top-A rows in acoustic-pruned
+    fusion (see prefix_beam lm_top_k)."""
+    score = jnp.broadcast_to(lm.uni, ctx.shape[:-1] + (lm.vocab_size,))
+    for n in range(2, lm.order + 1):
+        _, bo, _, _ = _context_level(lm, ctx, n)
+        score = bo[..., None] + score
     return score
 
 

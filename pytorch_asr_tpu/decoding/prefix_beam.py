@@ -246,15 +246,32 @@ def _gather_lm(carry: LMCarry, parent) -> LMCarry:
 
 def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
           lm_alpha, lm_beta, lm_order, K, L, rnn_lm=None, rnn_lm_params=None,
-          lm_carry: LMCarry | None = None, hash_lm=None):
+          lm_carry: LMCarry | None = None, hash_lm=None, lm_top_k: int = 0):
     B = logp_t.shape[0]
     lm_rows = lm_carry.logp if lm_carry is not None else None
     if hash_lm is not None:
         # Hashed backoff n-gram (large-vocab fusion): score rows are a pure
         # function of the context window carried in state.ctx.
-        from pytorch_asr_tpu.decoding.lm_hashed import hashed_lm_logp_rows
+        from pytorch_asr_tpu.decoding.lm_hashed import (
+            hashed_lm_allmiss_rows, hashed_lm_logp_rows)
 
-        lm_rows = hashed_lm_logp_rows(hash_lm, state.ctx)  # (B, K, V)
+        if 0 < lm_top_k < vocab:
+            # Acoustic-pruned fusion (BPE-scale vocabs): exact table lookups
+            # only for this frame's top-A acoustic candidates (shared across
+            # beams); everything else gets the stacked-backoff approximation
+            # — exact unless a low-acoustic candidate hits a higher-order
+            # n-gram, and such candidates essentially never enter the beam.
+            # Table-gather volume scales with A instead of V (measured 15x
+            # at V=1024 — scripts/bench_prefix_beam.py).
+            _, top_idx = jax.lax.top_k(logp_t, lm_top_k)       # (B, A)
+            cands = jnp.broadcast_to(top_idx[:, None, :],
+                                     (B, K, lm_top_k))
+            exact = hashed_lm_logp_rows(hash_lm, state.ctx, cands=cands)
+            lm_rows = jnp.put_along_axis(
+                hashed_lm_allmiss_rows(hash_lm, state.ctx), cands, exact,
+                axis=-1, inplace=False)
+        else:
+            lm_rows = hashed_lm_logp_rows(hash_lm, state.ctx)  # (B, K, V)
     stay, ext = _build_candidates(
         state, logp_t, blank=blank, vocab=vocab, lm_table=lm_table,
         lm_alpha=lm_alpha, lm_beta=lm_beta, K=K, L=L,
@@ -309,7 +326,7 @@ def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
 
 @partial(jax.jit, static_argnames=("beam_size", "blank", "lm_alpha", "lm_beta",
                                    "lm_order", "max_len", "rnn_lm", "sos_id",
-                                   "use_fused"))
+                                   "use_fused", "lm_top_k"))
 def prefix_beam_search(
     logits: jax.Array,           # (B, T, V)
     logit_len: jax.Array,        # (B,)
@@ -326,6 +343,7 @@ def prefix_beam_search(
     hash_lm=None,                # lm_hashed.HashedNgramLM for large vocabs
     use_fused: bool | None = None,   # None: auto (fused kernel when no LM
                                      # and Pallas is active); False: XLA scan
+    lm_top_k: int = 0,           # acoustic-pruned hashed fusion (see _step)
 ):
     """Returns (tokens (B, L), lengths (B,), scores (B,)) -- best beam per row.
 
@@ -363,7 +381,7 @@ def prefix_beam_search(
     step = partial(_step, blank=blank, vocab=V, lm_table=lm_table,
                    lm_alpha=lm_alpha, lm_beta=lm_beta, lm_order=lm_order,
                    K=K, L=L, rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
-                   hash_lm=hash_lm)
+                   hash_lm=hash_lm, lm_top_k=lm_top_k)
 
     def scan_fn(carry, inp):
         state, lm_carry = carry

@@ -33,7 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 from pytorch_asr_tpu.configs.base import FrontendConfig
 from pytorch_asr_tpu.frontend import features
 
-FRAME_BLOCK = 128      # frames per kernel invocation
+# Frames per kernel invocation.  Swept on v5e at the headline shape
+# (scripts/bench_stft.py, two-point in-jit timing; ~5-15% run-to-run tunnel
+# variance, so confirmed by a 3x alternated head-to-head): 256 beats 128 on
+# every repetition (2.81-2.95 vs 3.00-3.03 ms; best run 2.67 ms / 66.2% SOL
+# vs 3.05 / 57.9%); 384/512 regress (VMEM pressure).  256 doubles the
+# matmul M-dim and halves per-block DMA/assembly overhead.  Remaining SOL
+# gap is the VPU frame-assembly loop + M=256 MXU underutilization; cutting
+# FLOPS (2-pass bf16 split, factorized FFT) lowers wall time but cannot
+# raise %SOL, which counts executed flops.
+FRAME_BLOCK = 256
 LANE = 128
 
 
@@ -86,7 +95,7 @@ def _stft_kernel(audio_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref,
                  ws_lo_ref, mel_hi_ref, mel_lo_ref, out_ref,
                  chunk0_ref, chunk1_ref, frames_ref, sem0, sem1,
                  *, hop: int, n_fft: int, span: int, a_pad: int,
-                 log_floor: float):
+                 log_floor: float, fblk: int):
     b = pl.program_id(0)
     i = pl.program_id(1)
     nblk = pl.num_programs(1)
@@ -102,7 +111,7 @@ def _stft_kernel(audio_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref,
     def copy_for(gidx, chunk, sem):
         bb = gidx // nblk
         ii = gidx - bb * nblk
-        start = bb * a_pad + ii * FRAME_BLOCK * hop
+        start = bb * a_pad + ii * fblk * hop
         return pltpu.make_async_copy(
             audio_ref.at[pl.ds(start, span)], chunk, sem)
 
@@ -127,7 +136,7 @@ def _stft_kernel(audio_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref,
     # free XLA gather on the (tiny) mel output.
     g = _gcd(hop, LANE)
     n_phase = LANE // g
-    per_phase = FRAME_BLOCK // n_phase          # frames per phase (32)
+    per_phase = fblk // n_phase                 # frames per phase
     row_w = n_phase * hop                       # 640: stride between same-phase frames
     groups = per_phase // 8                     # 8-row groups per phase
 
@@ -178,23 +187,27 @@ def _stft_kernel(audio_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref,
 
 
 def stft_log_mel(audio: jax.Array, cfg: FrontendConfig,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False,
+                 frame_block: int | None = None) -> jax.Array:
     """(B, A) f32 waveform -> (B, T, n_mels) log-mel via the Pallas kernel.
 
     Output frames beyond the last full span are computed on zero padding; the
-    caller masks with feat_len exactly as in the jnp path.
+    caller masks with feat_len exactly as in the jnp path.  ``frame_block``
+    overrides FRAME_BLOCK (must be a multiple of the phase count
+    LANE/gcd(hop, LANE); the SOL study sweeps it).
     """
     B, A = audio.shape
     hop, n_fft = cfg.hop_length, cfg.n_fft
+    fblk = frame_block or FRAME_BLOCK
     T = features.max_frames(A, cfg)
     if T == 0:
         return jnp.zeros((B, 0, cfg.n_mels), jnp.float32)
-    nblk = pl.cdiv(T, FRAME_BLOCK)
+    nblk = pl.cdiv(T, fblk)
     # +LANE: the phase-aligned loads read n_fft+LANE lanes from the last row.
     # 1-D HBM slices must align to the full (8,128) tile = 1024 elements.
-    span = _round_up((FRAME_BLOCK - 1) * hop + n_fft + LANE, 8 * LANE)
+    span = _round_up((fblk - 1) * hop + n_fft + LANE, 8 * LANE)
     # Pad so every block's span slice is in range, then flatten to 1-D.
-    a_pad = _round_up(nblk * FRAME_BLOCK * hop + span, 8 * LANE)
+    a_pad = _round_up(nblk * fblk * hop + span, 8 * LANE)
     audio_p = jnp.pad(audio.astype(jnp.float32),
                       ((0, 0), (0, a_pad - A))).reshape(B * a_pad)
 
@@ -203,7 +216,7 @@ def stft_log_mel(audio: jax.Array, cfg: FrontendConfig,
 
     kernel = functools.partial(
         _stft_kernel, hop=hop, n_fft=n_fft, span=span, a_pad=a_pad,
-        log_floor=cfg.log_floor)
+        log_floor=cfg.log_floor, fblk=fblk)
     out = pl.pallas_call(
         kernel,
         grid=(B, nblk),
@@ -216,14 +229,14 @@ def stft_log_mel(audio: jax.Array, cfg: FrontendConfig,
             pl.BlockSpec(memory_space=pltpu.VMEM),         # mel hi
             pl.BlockSpec(memory_space=pltpu.VMEM),         # mel lo
         ],
-        out_specs=pl.BlockSpec((1, FRAME_BLOCK, m_pad),
+        out_specs=pl.BlockSpec((1, fblk, m_pad),
                                lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nblk * FRAME_BLOCK, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nblk * fblk, m_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((span,), jnp.float32),              # chunk buffer 0
             pltpu.VMEM((span,), jnp.float32),              # chunk buffer 1
-            pltpu.VMEM((FRAME_BLOCK, n_fft), jnp.float32), # frames
+            pltpu.VMEM((fblk, n_fft), jnp.float32),        # frames
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -234,11 +247,11 @@ def stft_log_mel(audio: jax.Array, cfg: FrontendConfig,
     # static gather (fused by XLA, negligible vs. the kernel).
     g = _gcd(hop, LANE)
     n_phase = LANE // g
-    per_phase = FRAME_BLOCK // n_phase
-    f = np.arange(FRAME_BLOCK)
+    per_phase = fblk // n_phase
+    f = np.arange(fblk)
     perm = (f % n_phase) * per_phase + f // n_phase   # frame f -> kernel row
-    out = out.reshape(B, nblk, FRAME_BLOCK, m_pad)[:, :, perm, :]
-    out = out.reshape(B, nblk * FRAME_BLOCK, m_pad)
+    out = out.reshape(B, nblk, fblk, m_pad)[:, :, perm, :]
+    out = out.reshape(B, nblk * fblk, m_pad)
     return out[:, :T, : cfg.n_mels]
 
 

@@ -65,23 +65,28 @@ def main() -> None:
 
         # hashed backoff tables (the BPE/large-vocab production path):
         # synthetic 3-gram tables sized like a real KN model at this vocab.
-        from pytorch_asr_tpu.decoding.lm_hashed import HashedNgramLM, HashTable
+        from pytorch_asr_tpu.decoding.lm_hashed import (
+            HashedNgramLM, _build_table)
 
-        def synth_table(n_slots, V):
-            cap = 1 << int(np.ceil(np.log2(max(n_slots * 2, 8))))
-            return HashTable(
-                k1=jnp.asarray(rng.integers(1, 2**31, cap).astype(np.int32)),
-                k2=jnp.asarray(rng.integers(1, 2**31, cap).astype(np.int32)),
-                val=jnp.asarray(rng.standard_normal(cap).astype(np.float32)))
+        def synth_table(n_entries, order):
+            grams = rng.integers(1, V, size=(n_entries, order))
+            return _build_table(
+                {tuple(map(int, g)): float(rng.standard_normal())
+                 for g in grams})
 
         hl = HashedNgramLM(
             uni=jnp.asarray(np.log(rng.dirichlet(np.ones(V))).astype(np.float32)),
             uni_backoff=jnp.zeros((V,), jnp.float32),
-            probs=(synth_table(8 * V, V), synth_table(32 * V, V)),
-            backoffs=(synth_table(8 * V, V),))
+            probs=(synth_table(8 * V, 2), synth_table(32 * V, 3)),
+            backoffs=(synth_table(8 * V, 2),))
         measure("hashed LM ", lambda: pb.prefix_beam_search(
             logits, lens, beam_size=K, hash_lm=hl,
             lm_alpha=0.5, lm_beta=1.0, use_fused=False))
+        if V >= 256:
+            A = int(kv.get("lm_top_k", 128))
+            measure(f"hashed A={A}", lambda: pb.prefix_beam_search(
+                logits, lens, beam_size=K, hash_lm=hl,
+                lm_alpha=0.5, lm_beta=1.0, use_fused=False, lm_top_k=A))
 
         # RNN LM fusion: per-beam (h, c) carried with the hypotheses.
         from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig

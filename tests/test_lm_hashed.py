@@ -192,3 +192,63 @@ def test_attention_beam_hashed_matches_dense():
         n = int(ld[b])
         np.testing.assert_array_equal(np.asarray(td)[b, :n],
                                       np.asarray(th)[b, :n])
+
+
+def test_candidate_subset_rows_match_full():
+    """hashed_lm_logp_rows(cands=subset) == full rows gathered at the subset
+    (the acoustic-pruned fusion's exact path)."""
+    lm = train_char_ngram_kn(TEXTS, order=3)
+    tok = CharTokenizer()
+    hl = build_hashed_lm(lm, tok.vocab_size)
+    rng = np.random.default_rng(3)
+    ctx = jnp.asarray(_ctx_batch(rng, tok.vocab_size, 3, 16))
+    full = hashed_lm_logp_rows(hl, ctx)
+    cands = jnp.asarray(rng.integers(0, tok.vocab_size, size=(16, 7)),
+                        jnp.int32)
+    sub = hashed_lm_logp_rows(hl, ctx, cands=cands)
+    want = jnp.take_along_axis(full, cands, axis=-1)
+    np.testing.assert_array_equal(np.asarray(sub), np.asarray(want))
+
+
+def test_allmiss_rows_are_exact_for_unseen():
+    """The stacked-backoff approximation equals the exact score whenever the
+    candidate hits no higher-order table."""
+    from pytorch_asr_tpu.decoding.lm_hashed import hashed_lm_allmiss_rows
+
+    lm = train_char_ngram_kn(TEXTS, order=3)
+    tok = CharTokenizer()
+    hl = build_hashed_lm(lm, tok.vocab_size)
+    rng = np.random.default_rng(4)
+    ctx = jnp.asarray(_ctx_batch(rng, tok.vocab_size, 3, 32))
+    full = np.asarray(hashed_lm_logp_rows(hl, ctx))
+    approx = np.asarray(hashed_lm_allmiss_rows(hl, ctx))
+    for i in range(ctx.shape[0]):
+        true_ctx = tuple(int(x) for x in np.asarray(ctx)[i] if x != 0)
+        for c in range(tok.vocab_size):
+            seen = any((true_ctx[len(true_ctx) - m:] + (c,)) in lm.logprobs
+                       for m in range(1, len(true_ctx) + 1))
+            if not seen:
+                np.testing.assert_allclose(approx[i, c], full[i, c],
+                                           rtol=1e-5, atol=1e-6)
+
+
+def test_beam_lm_top_k_full_width_is_exact():
+    """lm_top_k >= V falls back to the exact path (identical outputs); a
+    small A exercises the pruned scatter path and still decodes."""
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+
+    tok = CharTokenizer()
+    lm = train_char_ngram_kn(TEXTS, order=3)
+    hl = build_hashed_lm(lm, tok.vocab_size)
+    rng = np.random.default_rng(5)
+    B, T, V = 2, 20, tok.vocab_size
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32)) * 2
+    lens = jnp.full((B,), T, jnp.int32)
+    kw = dict(beam_size=4, hash_lm=hl, lm_alpha=0.5, lm_beta=0.4,
+              max_len=T + 1, use_fused=False)
+    t0, n0, s0 = prefix_beam_search(logits, lens, **kw)
+    t1, n1, s1 = prefix_beam_search(logits, lens, lm_top_k=V, **kw)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    t2, n2, _ = prefix_beam_search(logits, lens, lm_top_k=8, **kw)
+    assert np.asarray(n2).min() >= 0  # decodes without error
