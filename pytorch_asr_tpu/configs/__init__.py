@@ -77,7 +77,7 @@ def las_attention() -> ExperimentConfig:
     return ExperimentConfig(
         name="las_attention",
         data=DataConfig(split="train-clean-100", batch_size=16, sortagrad=True,
-                        auto_buckets=6),
+                        auto_buckets=6, eval_split="dev-clean"),
         model=ModelConfig(encoder=BiLSTMEncoderConfig(),
                           decoder=LASDecoderConfig(),
                           ctc_weight=0.0),
@@ -90,7 +90,7 @@ def joint_ctc_attention_960h() -> ExperimentConfig:
     return ExperimentConfig(
         name="joint_ctc_attention_960h",
         data=DataConfig(split="train-960", batch_size=32, sortagrad=True,
-                        auto_buckets=6),
+                        auto_buckets=6, eval_split="dev-clean"),
         frontend=FrontendConfig(waveform_augment=True),
         model=ModelConfig(encoder=BiLSTMEncoderConfig(hidden_dim=640, num_layers=5),
                           decoder=LASDecoderConfig(),

@@ -49,6 +49,11 @@ class DataConfig:
 
     librispeech_root: str = ""      # empty -> synthetic audio fixture
     split: str = "dev-clean"
+    # Periodic-eval split (SURVEY L5: 'periodic dev WER eval'); used when
+    # training on real data.  '' (default) -> evaluate on ``split`` itself
+    # (correct for decode/eval CLIs, where ``split`` IS the target); the
+    # canonical TRAINING configs set it to dev-clean.
+    eval_split: str = ""
     vocab: str = "char"             # "char" | "bpe:<vocab.json>" (asr-train-bpe)
     batch_size: int = 8
     # Bucket boundaries in audio samples; each bucket is one static XLA shape.

@@ -56,6 +56,17 @@ class Trainer:
         self.tokenizer = get_tokenizer(cfg.data.vocab)
         explicit_dataset = dataset is not None
         self.dataset = dataset or build_dataset(cfg.data, cfg.frontend.sample_rate)
+        if eval_dataset is None and not explicit_dataset \
+                and cfg.data.librispeech_root \
+                and getattr(cfg.data, "eval_split", "") \
+                and cfg.data.eval_split != cfg.data.split:
+            # Periodic dev-set eval (SURVEY L5): training on real data
+            # evaluates on data.eval_split, not the training split.
+            import dataclasses as _dc
+
+            eval_dataset = build_dataset(
+                _dc.replace(cfg.data, split=cfg.data.eval_split),
+                cfg.frontend.sample_rate)
         self.eval_dataset = eval_dataset or self.dataset
         # Training stream: checkpointable grain iterator, per-host sharded
         # (falls back to the in-memory bucketed iterator when a dataset object

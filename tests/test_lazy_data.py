@@ -244,3 +244,34 @@ def test_canonical_config_splits_resolve(ls_root):
         corpus = load_corpus_for(cfg.data, SR)
         assert isinstance(corpus, LazyCorpus)
         assert len(corpus) > 0
+
+
+def test_trainer_evaluates_on_dev_split(ls_root):
+    """Training on real data runs periodic eval on data.eval_split (the
+    reference's 'periodic dev WER' — SURVEY L5), not the training split."""
+    import dataclasses
+
+    from pytorch_asr_tpu.configs import get_config
+    from pytorch_asr_tpu.configs.base import (
+        BiLSTMEncoderConfig, DataConfig, FrontendConfig, ModelConfig)
+    from pytorch_asr_tpu.training.trainer import Trainer
+
+    root, _ = ls_root
+    cfg = dataclasses.replace(
+        get_config("ctc_bilstm_dev1h"),
+        frontend=FrontendConfig(use_pallas=False, specaugment=False),
+        data=DataConfig(librispeech_root=root, split="train-clean-100",
+                        eval_split="dev-clean", batch_size=2,
+                        bucket_audio_lens=(3 * SR,), bucket_label_lens=(32,)),
+        model=ModelConfig(
+            encoder=BiLSTMEncoderConfig(conv_channels=(2, 2), hidden_dim=16,
+                                        num_layers=1, dropout=0.0,
+                                        use_pallas=False),
+            compute_dtype="float32"),
+    )
+    tr = Trainer(cfg, enable_checkpoints=False)
+    # train split has 6 utts (2 speakers x 3), dev-clean also 6 — but they
+    # are different corpora; pin the eval dataset's size and separateness.
+    assert tr.eval_dataset is not tr.dataset
+    res = tr.evaluate(max_batches=2)
+    assert res["num_utts"] > 0
