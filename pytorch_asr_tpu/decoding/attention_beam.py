@@ -59,12 +59,31 @@ def _unflatten_state(st: DecoderState, B: int, K: int) -> DecoderState:
     )
 
 
+def _onehot_reorder(parent, K):
+    """(B, K, Kp) one-hot for float beam reorders: inside the decode scan XLA
+    lowers batched take_along_axis gathers very poorly (measured 13x their
+    standalone cost in the prefix beam — see prefix_beam._gather_lm); the
+    explicit one-hot contraction is a tiny MXU matmul that fuses cleanly.
+    Exact for floats (one 1.0 per row; LM/decoder states are finite).
+    Integer/bool leaves keep take_along_axis — f32 transit would corrupt
+    values above 2^24 (prefix hashes) and gathers of small int tensors are
+    not the bottleneck."""
+    return jax.nn.one_hot(parent, K, dtype=jnp.float32)
+
+
 def _gather_beam(tree, parent):
     """Gather beam-indexed pytree leaves (B, K, ...) by parent (B, K)."""
+    onehot = None
 
     def g(x):
+        nonlocal onehot
         if x.ndim < 2:
             return x
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            if onehot is None:
+                onehot = _onehot_reorder(parent, x.shape[1])
+            return jnp.einsum("bkj,bj...->bk...", onehot,
+                              x.astype(jnp.float32)).astype(x.dtype)
         idx = parent.reshape(parent.shape + (1,) * (x.ndim - 2))
         return jnp.take_along_axis(x, jnp.broadcast_to(
             idx, parent.shape + x.shape[2:]), axis=1)
@@ -74,11 +93,10 @@ def _gather_beam(tree, parent):
 
 def _gather_dec(st: DecoderState, parent) -> DecoderState:
     """Beam-gather a DecoderState whose h/c carry a leading layer dim."""
+    onehot = _onehot_reorder(parent, st.att.shape[1])
 
     def g2(x):                                   # (B, K, ...) leaves
-        idx = parent.reshape(parent.shape + (1,) * (x.ndim - 2))
-        return jnp.take_along_axis(x, jnp.broadcast_to(
-            idx, parent.shape + x.shape[2:]), axis=1)
+        return jnp.einsum("bkj,bj...->bk...", onehot, x)
 
     return DecoderState(
         h=jax.vmap(g2)(st.h),                    # (L, B, K, H)
