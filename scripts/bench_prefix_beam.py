@@ -68,17 +68,22 @@ def main() -> None:
         from pytorch_asr_tpu.decoding.lm_hashed import (
             HashedNgramLM, _build_table)
 
-        def synth_table(n_entries, order):
+        def synth_entries(n_entries, order):
             grams = rng.integers(1, V, size=(n_entries, order))
-            return _build_table(
-                {tuple(map(int, g)): float(rng.standard_normal())
-                 for g in grams})
+            return {tuple(map(int, g)): float(rng.standard_normal())
+                    for g in grams}
 
+        bigrams = synth_entries(8 * V, 2)
+        bi = np.full((V, V), np.nan, np.float32)
+        for (w, c), lp in bigrams.items():
+            bi[w, c] = lp
         hl = HashedNgramLM(
             uni=jnp.asarray(np.log(rng.dirichlet(np.ones(V))).astype(np.float32)),
             uni_backoff=jnp.zeros((V,), jnp.float32),
-            probs=(synth_table(8 * V, 2), synth_table(32 * V, 3)),
-            backoffs=(synth_table(8 * V, 2),))
+            probs=(_build_table(bigrams),
+                   _build_table(synth_entries(32 * V, 3))),
+            backoffs=(_build_table(synth_entries(8 * V, 2)),),
+            bi_dense=jnp.asarray(bi))
         measure("hashed LM ", lambda: pb.prefix_beam_search(
             logits, lens, beam_size=K, hash_lm=hl,
             lm_alpha=0.5, lm_beta=1.0, use_fused=False))

@@ -257,7 +257,10 @@ def test_streaming_beam_lm_fusion_matches_offline(fusion, chunk_samples):
             from pytorch_asr_tpu.decoding.lm_hashed import build_hashed_lm
 
             hl = build_hashed_lm(lm, tok.vocab_size)
-            hl = hl._replace(uni=hl.uni[:VOCAB], uni_backoff=hl.uni_backoff[:VOCAB])
+            hl = hl._replace(
+                uni=hl.uni[:VOCAB], uni_backoff=hl.uni_backoff[:VOCAB],
+                bi_dense=(hl.bi_dense[:VOCAB, :VOCAB]
+                          if hl.bi_dense is not None else None))
             kw["hash_lm"] = hl
     else:
         from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
