@@ -158,6 +158,12 @@ def _merge_topk(stay: dict, ext: dict, K: int):
     B=16 K=16 V=32 on v5e (XLA variadic sort + two (B, N, N) masked
     reductions), 30x the cost of all remaining per-step work.  This O(K^2)
     absorption computes the identical distribution.
+
+    Measured non-lever: selecting the FLOAT fields below via a one-hot
+    (B, K, N) contraction (the trick that bought 16x on the LM-carry
+    reorder, _gather_lm) moved the full search only 104.6 -> 98.6 ms at the
+    bench shape — within tunnel variance; the integer-field gathers and
+    token rebuild dominate ``take``.  Kept as take_along_axis.
     """
     B, Ks = stay["hash"].shape
     nb = ext["pnb"].shape[2]
