@@ -65,6 +65,12 @@ class BucketedDataset:
     ``epoch_batches(seed)`` reshuffles per epoch; iteration order interleaves
     buckets deterministically given the seed, and every utterance appears
     exactly once per epoch (final partial batches are zero-padded rows).
+
+    RAM stays bounded for lazy corpora (data/librispeech.py::LazyCorpus):
+    construction reads header lengths + transcripts only, and audio decodes
+    one batch at a time during iteration — so eval/decode of ANY split size
+    never materializes the corpus (the train path's grain iterator has the
+    same property).
     """
 
     def __init__(
@@ -76,26 +82,31 @@ class BucketedDataset:
         tokenizer: CharTokenizer | None = None,
         drop_too_long: bool = True,
     ) -> None:
+        from pytorch_asr_tpu.data import corpus_audio_lengths, corpus_transcripts
+
         self.tokenizer = tokenizer or CharTokenizer()
         self.batch_size = batch_size
         self.buckets = make_buckets(bucket_audio_lens, bucket_label_lens)
-        self.per_bucket: list[list[tuple[np.ndarray, np.ndarray]]] = [
+        self._corpus = corpus
+        # per bucket: (corpus index, audio samples, encoded tokens)
+        self.per_bucket: list[list[tuple[int, int, np.ndarray]]] = [
             [] for _ in self.buckets
         ]
         self.num_dropped = 0
-        self.total_audio_sec = 0.0
-        for audio, text in corpus:
+        audio_lens = corpus_audio_lengths(corpus)
+        texts = corpus_transcripts(corpus)
+        for i, (alen, text) in enumerate(zip(audio_lens, texts)):
             toks = self.tokenizer.encode(text)
-            bi = assign_bucket(self.buckets, len(audio), len(toks))
+            bi = assign_bucket(self.buckets, int(alen), len(toks))
             if bi is None:
                 if drop_too_long:
                     self.num_dropped += 1
                     continue
                 raise ValueError(
-                    f"utterance of {len(audio)} samples / {len(toks)} labels "
+                    f"utterance of {alen} samples / {len(toks)} labels "
                     f"exceeds the largest bucket {self.buckets[-1]}"
                 )
-            self.per_bucket[bi].append((audio, toks))
+            self.per_bucket[bi].append((i, int(alen), toks))
         self.num_examples = sum(len(b) for b in self.per_bucket)
         if self.num_examples == 0 and len(corpus) > 0:
             raise ValueError(
@@ -111,10 +122,10 @@ class BucketedDataset:
         ordering (ascending audio length, no shuffle — Deep Speech 2's
         first-epoch curriculum, standard in the reference genre)."""
         rng = np.random.default_rng(seed)
-        pending: list[tuple[int, list[tuple[np.ndarray, np.ndarray]]]] = []
+        pending: list[tuple[int, list[tuple[int, int, np.ndarray]]]] = []
         for bi, examples in enumerate(self.per_bucket):
             if sort_by_length:
-                order = np.argsort([len(a) for a, _ in examples],
+                order = np.argsort([alen for _, alen, _ in examples],
                                    kind="stable")
             else:
                 order = rng.permutation(len(examples))
@@ -123,11 +134,14 @@ class BucketedDataset:
                 pending.append((bi, chunk))
         if sort_by_length:
             # ascending by the longest utterance actually in the batch
-            pending.sort(key=lambda bc: max(len(a) for a, _ in bc[1]))
+            pending.sort(key=lambda bc: max(alen for _, alen, _ in bc[1]))
         else:
             rng.shuffle(pending)  # interleave buckets
         for bi, chunk in pending:
-            yield _emit(chunk, self.buckets[bi], self.batch_size)
+            # audio decodes HERE, one batch at a time (lazy corpora)
+            examples = [(np.asarray(self._corpus[i][0], np.float32), toks)
+                        for i, _alen, toks in chunk]
+            yield _emit(examples, self.buckets[bi], self.batch_size)
 
     def repeat_batches(self, seed: int = 0, sortagrad: bool = False
                        ) -> Iterator[dict[str, np.ndarray]]:

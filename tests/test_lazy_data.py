@@ -275,3 +275,29 @@ def test_trainer_evaluates_on_dev_split(ls_root):
     assert tr.eval_dataset is not tr.dataset
     res = tr.evaluate(max_batches=2)
     assert res["num_utts"] > 0
+
+
+def test_bucketed_dataset_lazy_no_decode_at_construction(ls_root, monkeypatch):
+    """The eval path (BucketedDataset) must also stay RAM-bounded: headers +
+    transcripts at construction, one batch of decodes per emitted batch."""
+    from pytorch_asr_tpu.data.batching import BucketedDataset
+
+    root, _ = ls_root
+    corpus = load_corpus(root, "train-960")
+    corpus.audio_lengths()                   # pre-probe headers
+    calls = []
+    real = ls.load_audio
+    monkeypatch.setattr(ls, "load_audio", lambda p: (calls.append(p) or real(p)))
+    ds = BucketedDataset(corpus, batch_size=4,
+                         bucket_audio_lens=(3 * SR,), bucket_label_lens=(32,))
+    assert calls == []                       # constructing = zero decodes
+    it = ds.epoch_batches(seed=0)
+    b = next(it)
+    assert len(calls) <= 4                   # exactly one batch of decodes
+    assert b["audio"].shape == (4, 3 * SR)
+    # SortaGrad ordering also decode-free until emission
+    calls.clear()
+    it2 = ds.epoch_batches(seed=0, sort_by_length=True)
+    b2 = next(it2)
+    assert len(calls) <= 4
+    assert b2["audio_len"].max() <= b["audio"].shape[1]
