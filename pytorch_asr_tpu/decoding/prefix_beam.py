@@ -446,6 +446,7 @@ def prefix_beam_continue(state: BeamState, logp: jax.Array,
                          lm_alpha: float = 0.0, lm_beta: float = 0.0,
                          hash_lm=None, rnn_lm=None, rnn_lm_params=None,
                          lm_carry: LMCarry | None = None,
+                         lm_top_k: int = 0,
                          ) -> tuple[BeamState, LMCarry | None]:
     """Advance the beam over ONE chunk of (B, Tc, V) log-softmax frames.
 
@@ -465,7 +466,7 @@ def prefix_beam_continue(state: BeamState, logp: jax.Array,
     step = partial(_step, blank=blank, vocab=V, lm_table=lm_table,
                    lm_alpha=lm_alpha, lm_beta=lm_beta, lm_order=3, K=K, L=L,
                    rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
-                   hash_lm=hash_lm)
+                   hash_lm=hash_lm, lm_top_k=lm_top_k)
 
     def scan_fn(carry, inp):
         st, lmc = carry

@@ -188,7 +188,7 @@ def _stream_step(static, params, state: StreamState, samples, n_frames,
         (device pytrees; traced so swapping LMs never recompiles the step).
     Returns: (new_state, ids (B, out_T) left-packed, n_ids (B,)).
     """
-    cfg, block_frames, rnn_lm, lm_alpha, lm_beta = static
+    cfg, block_frames, rnn_lm, lm_alpha, lm_beta, lm_top_k = static
     enc = cfg.model.encoder
     fe = cfg.frontend
     kt, kf = enc.conv_kernel
@@ -262,7 +262,7 @@ def _stream_step(static, params, state: StreamState, samples, n_frames,
             state.beam, logp, lengths,
             lm_table=lm_table, lm_alpha=lm_alpha, lm_beta=lm_beta,
             hash_lm=hash_lm, rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
-            lm_carry=state.lm_carry)
+            lm_carry=state.lm_carry, lm_top_k=lm_top_k)
         toks, n_ids, _ = beam_best(new_beam)
         new_state = StreamState(conv_ctx=tuple(new_ctx), lstm_h=tuple(new_h),
                                 lstm_c=tuple(new_c), prev_tok=state.prev_tok,
@@ -310,7 +310,7 @@ class StreamingRecognizer:
                  mode: str = "greedy", lm_table=None, hash_lm=None,
                  rnn_lm=None, rnn_lm_params=None,
                  lm_alpha: float = 0.0, lm_beta: float = 0.0,
-                 sos_id: int | None = None):
+                 sos_id: int | None = None, lm_top_k: int = 0):
         if mode not in ("greedy", "beam"):
             raise ValueError(f"unknown streaming mode {mode!r}")
         if mode != "beam" and (lm_table is not None or hash_lm is not None
@@ -324,6 +324,7 @@ class StreamingRecognizer:
         self.lm_alpha = float(lm_alpha)
         self.lm_beta = float(lm_beta)
         self.sos_id = sos_id
+        self.lm_top_k = int(lm_top_k)
         enc = _check_streamable(cfg)
         total_stride = 1
         for _ in enc.conv_channels:
@@ -354,7 +355,7 @@ class StreamingRecognizer:
     def _run_block(self, samples: np.ndarray, n_frames: int) -> list[list[int]]:
         state, ids, n = _stream_step(
             (self.cfg, self.block_frames, self.rnn_lm,
-             self.lm_alpha, self.lm_beta),
+             self.lm_alpha, self.lm_beta, self.lm_top_k),
             self.params, self.state,
             jnp.asarray(samples),
             jnp.full((self.batch_size,), n_frames, jnp.int32),
