@@ -181,7 +181,7 @@ def _stream_step(static, params, state: StreamState, samples, n_frames,
     """One block: samples -> log-mel -> causal conv -> LSTM -> greedy emit.
 
     Args:
-      static: (cfg, block_frames, rnn_lm, lm_alpha, lm_beta) — hashable.
+      static: (cfg, block_frames, rnn_lm, lm_alpha, lm_beta, lm_top_k) — hashable.
       samples: (B, (block_frames-1)*hop + win) f32.
       n_frames: (B,) int32 valid frame count in this block (<= block_frames).
       lm_table / hash_lm / rnn_lm_params: beam-mode LM fusion sources
