@@ -360,8 +360,12 @@ def prefix_beam_search(
     rnn_lm_params=None,
     sos_id: int = 29,
     hash_lm=None,                # lm_hashed.HashedNgramLM for large vocabs
-    use_fused: bool | None = None,   # None: auto (fused kernel when no LM
-                                     # and Pallas is active); False: XLA scan
+    use_fused: bool | None = None,   # None: auto -- the lane-parallel fused
+                                     # Pallas kernel when no LM fusion is
+                                     # requested, on a real TPU, at kernel-
+                                     # validated sizes (measured 3.5x the
+                                     # scan at B=16 K=16 V=32 on v5e);
+                                     # True: force it; False: XLA scan
     lm_top_k: int = 0,           # acoustic-pruned hashed fusion (see _step)
 ):
     """Returns (tokens (B, L), lengths (B,), scores (B,)) -- best beam per row.
@@ -373,19 +377,22 @@ def prefix_beam_search(
     with each beam hypothesis on device.
     """
     B, T, V = logits.shape
-    if use_fused and lm_table is None and rnn_lm is None and hash_lm is None:
-        # Opt-in single-program Pallas decode (ops/beam_pallas.py): exact
-        # (bit-identical scores on v5e) but NOT the default -- measured
-        # 64 ms/frame vs this scan's 176 us at B=16 K=16 V=32: Mosaic
-        # scalarizes the beam's many small (B, K)-shaped batched ops, while
-        # XLA fuses them well.  Kept as the parity-tested foundation for a
-        # future lane-parallel layout; see IMPLEMENTATION.md roofline notes.
+    no_lm = lm_table is None and rnn_lm is None and hash_lm is None
+    if use_fused is None:
+        # Auto: the lane-parallel fused kernel (ops/beam_pallas.py,
+        # prefix_beam_fused_lanes) wins 3.5x over this scan on v5e at the
+        # production decode shape (30 vs 106 us/frame, B=16 K=16 V=32,
+        # round 4).  Gated to no-LM searches on a real TPU at sizes the
+        # kernel layout was validated at (K*V candidate lanes <= 2048).
+        use_fused = (no_lm and jax.default_backend() == "tpu"
+                     and V * beam_size <= 2048)
+    if use_fused and no_lm:
         from jax.sharding import PartitionSpec as P
 
-        from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused
+        from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused_lanes
         from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
 
-        fn = lambda lg, ln: prefix_beam_fused(  # noqa: E731
+        fn = lambda lg, ln: prefix_beam_fused_lanes(  # noqa: E731
             lg, ln, beam_size, blank, max_len)
         fn = maybe_data_shard_map(fn, in_specs=(P("data"), P("data")),
                                   out_specs=(P("data"),) * 3)

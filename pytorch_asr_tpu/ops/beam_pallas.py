@@ -16,16 +16,26 @@ masked sums (int32 fields -- hashes don't fit f32); top-K is K rounds of
 paired argmax over the structured (stay, ext) candidates (a (B, K, V) ->
 (B, K*V) flatten is an unsupported Mosaic shape cast).
 
-STATUS -- exact but not the production path.  On v5e the kernel compiles and
-matches the XLA beam bit-for-bit (max score diff 0.0 at B=16 K=16 V=32
-T=1000), but runs ~64 ms/frame vs the XLA scan's 176 us: the beam state is
-(B, K) = 16x16 shaped, so every one of the ~50 ops per frame occupies 1/64
-of the VPU and Mosaic scalarizes the small batched contractions that XLA
-fuses into a handful of wide kernels.  A speed-of-light fused beam needs a
-lane-parallel state layout (candidates spread across the 8x128 VPU lanes,
-one frame per sublane group) -- kept as future work; this kernel is the
-parity-tested foundation and is reachable via
-``prefix_beam_search(..., use_fused=True)``.
+TWO kernels live here:
+
+  * ``prefix_beam_fused`` -- the round-2 SCALARIZED layout: beam state kept
+    (B, K) = 16x16 shaped, token buffers rebuilt in VMEM each frame via
+    batched one-hot contractions.  Exact (bit-identical scores on v5e) but
+    ~64 ms/frame vs the XLA scan's 176 us: every one of the ~50 ops per
+    frame occupies 1/64 of the VPU and Mosaic scalarizes the small batched
+    dot_generals that XLA fuses into a handful of wide kernels.  Kept as the
+    measured refutation of that layout.
+
+  * ``prefix_beam_fused_lanes`` -- the LANE-PARALLEL layout (round 4): all
+    K*V extension candidates live in ONE flat (B, K*V) array whose lane
+    axis fills the 8x128 VPU (512 lanes at K=16 V=32), per-beam fields are
+    expanded to candidate lanes by static-slice broadcasts (no batched
+    dot_generals anywhere), and the token buffers are gone entirely -- the
+    kernel emits per-frame (parent, append) backpointers and the final
+    token strings are reconstructed by one cheap XLA backtrace scan over
+    the recorded (T, B, K) arrays.  This removes both scalarization sources
+    of the first kernel: wide flat ops instead of (B, K)-shaped ones, and
+    masked lane-reductions instead of one-hot matmul gathers.
 """
 
 from __future__ import annotations
@@ -286,3 +296,226 @@ def prefix_beam_fused(logits, logit_len, beam_size: int = 16, blank: int = 0,
         interpret=pallas_interpret(),
     )(logp_tbv, logit_len.astype(jnp.int32)[:, None])
     return tokens, lens[:, 0], scores[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Lane-parallel fused beam (round 4) -- see module docstring.
+# ---------------------------------------------------------------------------
+
+_I32_BIG = 2**31 - 1
+
+
+def _expand_beam_field(x, K: int, V: int):
+    """(B, K) -> (B, K*V): beam k's value repeated over its V candidate
+    lanes.  Static lane slices + broadcasts + one concat: no gathers, no
+    dot_generals, nothing for Mosaic to scalarize."""
+    B = x.shape[0]
+    return jnp.concatenate(
+        [jnp.broadcast_to(x[:, k:k + 1], (B, V)) for k in range(K)], axis=1)
+
+
+def _beam_kernel_lanes(logp_ref, len_ref, par_out, app_out,
+                       score_out, len_out,
+                       pb_sc, pnb_sc, hash_sc, last_sc, length_sc,
+                       *, tc: int, K: int, V: int, L: int, blank: int):
+    ic = pl.program_id(0)
+    B = len_ref.shape[0]
+    KV = K * V
+    kf = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    c_flat = jnp.concatenate([iota_v] * K, axis=1)             # (B, KV)
+    par_flat = jnp.concatenate(
+        [jnp.full((B, V), k, jnp.int32) for k in range(K)], axis=1)
+    flat_idx = jax.lax.broadcasted_iota(jnp.int32, (B, KV), 1)  # k*V + c
+
+    @pl.when(ic == 0)
+    def _():
+        pb_sc[:] = jnp.where(kf == 0, 0.0, NEG_INF)
+        pnb_sc[:] = jnp.full((B, K), NEG_INF)
+        hash_sc[:] = -(kf + 1)
+        last_sc[:] = jnp.full((B, K), -1, jnp.int32)
+        length_sc[:] = jnp.zeros((B, K), jnp.int32)
+
+    lens = len_ref[:]                                          # (B, 1)
+
+    for j in range(tc):
+        t = ic * tc + j
+        logp_t = logp_ref[j]                                   # (B, V)
+        lp_flat = jnp.concatenate([logp_t] * K, axis=1)        # (B, KV)
+        pb, pnb = pb_sc[:], pnb_sc[:]
+        hsh, last, length = hash_sc[:], last_sc[:], length_sc[:]
+        total = jnp.logaddexp(pb, pnb)
+
+        # ---- stay candidates (B, K) ----------------------------------------
+        lp_blank = logp_t[:, blank][:, None]
+        lp_last = jnp.concatenate(
+            [jnp.sum(jnp.where(iota_v == last[:, k:k + 1], logp_t, 0.0),
+                     axis=1)[:, None] for k in range(K)], axis=1)
+        stay_pb = total + lp_blank
+        stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
+
+        # ---- extension candidates, flat over lanes (B, KV) -----------------
+        is_rep = c_flat == _expand_beam_field(last, K, V)
+        base = jnp.where(is_rep, _expand_beam_field(pb, K, V),
+                         _expand_beam_field(total, K, V))
+        len_f = _expand_beam_field(length, K, V)
+        ext_pnb = base + lp_flat
+        ext_pnb = jnp.where(len_f >= L, NEG_INF, ext_pnb)
+        ext_pnb = jnp.where(c_flat == blank, NEG_INF, ext_pnb)
+        ext_hash = _expand_beam_field(hsh, K, V) * HASH_MULT + c_flat
+
+        # ---- hash absorption: ext(k, c) whose prefix equals stay k' --------
+        # (same O(K^2) family as the XLA merge, but each target stay scans
+        # all KV candidates with one full-lane compare + masked logsumexp)
+        alive = jnp.logaddexp(stay_pb, stay_pnb) > NEG_INF / 2  # (B, K)
+        abs_m = c_flat < 0                                      # all-False
+        add_cols = []
+        for k2 in range(K):
+            m = ((ext_hash == hsh[:, k2:k2 + 1]) & (c_flat >= 1)
+                 & (c_flat != blank) & alive[:, k2:k2 + 1])
+            vals = jnp.where(m, ext_pnb, NEG_INF)
+            mx = jnp.max(vals, axis=1)                          # (B,)
+            s = jnp.sum(jnp.exp(vals - mx[:, None]), axis=1)
+            add_cols.append(jnp.where(mx > NEG_INF / 2, mx + jnp.log(s),
+                                      NEG_INF)[:, None])
+            abs_m = abs_m | m
+        add = jnp.concatenate(add_cols, axis=1)                 # (B, K)
+        stay_pnb_m = jnp.logaddexp(stay_pnb, add)
+
+        stay_score = jnp.logaddexp(stay_pb, stay_pnb_m)
+        ext_score = jnp.where(abs_m, NEG_INF, ext_pnb)
+
+        # ---- top-K: K rounds of paired argmax; fields extracted at
+        # selection time by masked lane reductions (no parent gathers) ------
+        work_s, work_e = stay_score, ext_score
+        sp, sa, ss, spb, spnb, sh, sl, sn = ([] for _ in range(8))
+        for _ in range(K):
+            bs = jnp.max(work_s, axis=1)                        # (B,)
+            be = jnp.max(work_e, axis=1)                        # (B,)
+            is_stay = bs >= be                                  # stays win ties
+            s_idx = jnp.min(jnp.where(work_s == bs[:, None], kf, K), axis=1)
+            e_idx = jnp.min(jnp.where(work_e == be[:, None], flat_idx, KV),
+                            axis=1)
+            m_s = kf == s_idx[:, None]                          # (B, K)
+            m_e = flat_idx == e_idx[:, None]                    # (B, KV)
+
+            def exs_f(x, m_s=m_s):
+                return jnp.max(jnp.where(m_s, x, NEG_INF), axis=1)
+
+            def exs_i(x, m_s=m_s):
+                return jnp.min(jnp.where(m_s, x, _I32_BIG), axis=1)
+
+            def exe_f(x, m_e=m_e):
+                return jnp.max(jnp.where(m_e, x, NEG_INF), axis=1)
+
+            def exe_i(x, m_e=m_e):
+                return jnp.min(jnp.where(m_e, x, _I32_BIG), axis=1)
+
+            app_r = jnp.where(is_stay, -1, exe_i(c_flat))
+            sp.append(jnp.where(is_stay, s_idx, exe_i(par_flat))[:, None])
+            sa.append(app_r[:, None])
+            ss.append(jnp.maximum(bs, be)[:, None])
+            spb.append(jnp.where(is_stay, exs_f(stay_pb), NEG_INF)[:, None])
+            spnb.append(jnp.where(is_stay, exs_f(stay_pnb_m),
+                                  exe_f(ext_pnb))[:, None])
+            sh.append(jnp.where(is_stay, exs_i(hsh),
+                                exe_i(ext_hash))[:, None])
+            sl.append(jnp.where(is_stay, exs_i(last), app_r)[:, None])
+            sn.append(jnp.where(is_stay, exs_i(length),
+                                exe_i(len_f) + 1)[:, None])
+            work_s = jnp.where(m_s & is_stay[:, None], NEG_INF, work_s)
+            work_e = jnp.where(m_e & (~is_stay)[:, None], NEG_INF, work_e)
+
+        parent = jnp.concatenate(sp, axis=1)                    # (B, K)
+        append = jnp.concatenate(sa, axis=1)
+        top_score = jnp.concatenate(ss, axis=1)
+        dead = top_score <= NEG_INF / 2
+        new_pb = jnp.where(dead, NEG_INF, jnp.concatenate(spb, axis=1))
+        new_pnb = jnp.where(dead, NEG_INF, jnp.concatenate(spnb, axis=1))
+        new_hash = jnp.where(dead, -(kf + 1), jnp.concatenate(sh, axis=1))
+        new_last = jnp.concatenate(sl, axis=1)
+        new_len = jnp.concatenate(sn, axis=1)
+
+        # ---- freeze rows past their length; record backpointers ------------
+        act = t < lens                                          # (B, 1)
+        pb_sc[:] = jnp.where(act, new_pb, pb)
+        pnb_sc[:] = jnp.where(act, new_pnb, pnb)
+        hash_sc[:] = jnp.where(act, new_hash, hsh)
+        last_sc[:] = jnp.where(act, new_last, last)
+        length_sc[:] = jnp.where(act, new_len, length)
+        par_out[j] = jnp.where(act, parent, kf)
+        app_out[j] = jnp.where(act, append, -1)
+
+    score_out[:] = jnp.logaddexp(pb_sc[:], pnb_sc[:])
+    len_out[:] = length_sc[:]
+
+
+def _backtrace(parents, appends, best, L: int):
+    """Token strings from per-frame backpointers: follow the best beam's
+    parent chain backward collecting appended chars, then left-pack."""
+    def step(k_cur, pa):
+        par_t, app_t = pa
+        tok = jnp.take_along_axis(app_t, k_cur[:, None], axis=1)[:, 0]
+        k_prev = jnp.take_along_axis(par_t, k_cur[:, None], axis=1)[:, 0]
+        return k_prev, tok
+
+    _, toks_rev = jax.lax.scan(step, best, (parents[::-1], appends[::-1]))
+    fwd = toks_rev[::-1]                                        # (T, B)
+    valid = fwd >= 0
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1       # (T, B)
+    oh = (pos[..., None] == jnp.arange(L)[None, None, :]) & valid[..., None]
+    return jnp.sum(jnp.where(oh, fwd[..., None], 0), axis=0).astype(jnp.int32)
+
+
+def prefix_beam_fused_lanes(logits, logit_len, beam_size: int = 16,
+                            blank: int = 0, max_len: int = 256):
+    """Lane-parallel one-kernel CTC prefix beam search (no LM fusion).
+
+    Returns (tokens (B, L), lengths (B,), scores (B,)), matching
+    decoding.prefix_beam.prefix_beam_search(lm_table=None) exactly.
+    """
+    B, T, V = logits.shape
+    K, L = beam_size, max_len
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tc = TIME_CHUNK
+    t_pad = _round_up(T, tc)
+    n_chunks = t_pad // tc
+    logp_tbv = jnp.swapaxes(
+        jnp.pad(logp, ((0, 0), (0, t_pad - T), (0, 0))), 0, 1)
+    kern = functools.partial(_beam_kernel_lanes, tc=tc, K=K, V=V, L=L,
+                             blank=blank)
+    parents, appends, scores, lengths = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((tc, B, V), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # logit_len (B, 1)
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, B, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tc, B, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, K), lambda i: (0, 0)),
+            pl.BlockSpec((B, K), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, B, K), jnp.int32),   # parents
+            jax.ShapeDtypeStruct((t_pad, B, K), jnp.int32),   # appends
+            jax.ShapeDtypeStruct((B, K), jnp.float32),        # final scores
+            jax.ShapeDtypeStruct((B, K), jnp.int32),          # final lengths
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, K), jnp.float32),              # pb
+            pltpu.VMEM((B, K), jnp.float32),              # pnb
+            pltpu.VMEM((B, K), jnp.int32),                # rolling hash
+            pltpu.VMEM((B, K), jnp.int32),                # last char
+            pltpu.VMEM((B, K), jnp.int32),                # lengths
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(logp_tbv, logit_len.astype(jnp.int32)[:, None])
+    best = jnp.argmax(scores, axis=1)                          # (B,)
+    tokens = _backtrace(parents, appends, best, L)
+    final_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    final_sc = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return tokens, final_len, final_sc

@@ -112,6 +112,15 @@ def main() -> None:
         measure("fused beam", lambda: prefix_beam_fused(
             logits, lens, beam_size=K))
 
+    if kv.get("lanes", "1") == "1":
+        # lane-parallel fused kernel (round 4): flat (B, K*V) candidate
+        # lanes + backpointer outputs (see ops/beam_pallas.py)
+        from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused_lanes
+
+        measure("lanes beam", lambda: jax.jit(
+            prefix_beam_fused_lanes, static_argnums=(2, 3, 4))(
+            logits, lens, K, 0, 256))
+
     # ---- merge+topk alone (scan over the same candidate work) --------------
     state = pb._init_state(B, K, 256)
     logp = jax.nn.log_softmax(logits, axis=-1)

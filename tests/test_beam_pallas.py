@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
 from pytorch_asr_tpu.ops import runtime
-from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused
+from pytorch_asr_tpu.ops.beam_pallas import (prefix_beam_fused,
+                                             prefix_beam_fused_lanes)
 
 
 @pytest.fixture(autouse=True)
@@ -24,8 +25,8 @@ def _interpret():
     runtime.force_interpret(None)
 
 
-def _compare(logits, lens, K, L):
-    tk, lk, sk = prefix_beam_fused(logits, lens, beam_size=K, max_len=L)
+def _compare(logits, lens, K, L, fused=prefix_beam_fused):
+    tk, lk, sk = fused(logits, lens, beam_size=K, max_len=L)
     tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
                                 use_fused=False)
     np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
@@ -43,6 +44,26 @@ def test_fused_beam_matches_xla_beam(seed):
     logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
     lens = jnp.asarray([T, T - 5], np.int32)
     _compare(logits, lens, K, L)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_lanes_beam_matches_xla_beam(seed):
+    rng = np.random.default_rng(seed)
+    B, T, V, K, L = 2, 16, 32, 8, 20
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 5], np.int32)
+    _compare(logits, lens, K, L, fused=prefix_beam_fused_lanes)
+
+
+def test_lanes_beam_blank_dominated_gives_empty():
+    B, T, V = 1, 12, 32
+    logits = np.full((B, T, V), -8.0, np.float32)
+    logits[..., 0] = 6.0                     # blank wins everywhere
+    tk, lk, sk = prefix_beam_fused_lanes(jnp.asarray(logits),
+                                         jnp.asarray([T], np.int32),
+                                         beam_size=4, max_len=16)
+    assert int(lk[0]) == 0
+    assert np.isfinite(float(sk[0]))
 
 
 def test_fused_beam_blank_dominated_gives_empty():

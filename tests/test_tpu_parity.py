@@ -227,3 +227,29 @@ def test_ctc_kernel_parity_on_tpu():
     want = jax.jit(ctc_loss_jnp)(logits, llen, tokens, tlen)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(want),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_lanes_beam_parity_on_tpu():
+    """Lane-parallel fused beam kernel vs the XLA scan ON HARDWARE: token
+    bit-equality (the interpret-mode test covers arithmetic; this pins the
+    Mosaic compile -- lane broadcasts, masked reductions, i32 wraparound
+    hash math -- on the real chip)."""
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+    from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused_lanes
+
+    rng = np.random.default_rng(7)
+    B, T, V, K, L = 4, 64, 32, 16, 48
+    logits = jnp.asarray(rng.standard_normal((B, T, V)), jnp.float32)
+    lens = jnp.asarray([T, T - 7, T // 2, T - 1], np.int32)
+    tk, lk, sk = jax.jit(
+        prefix_beam_fused_lanes, static_argnums=(2, 3, 4))(
+        logits, lens, K, 0, L)
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx),
+                               rtol=1e-4, atol=1e-3)
