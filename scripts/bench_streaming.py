@@ -1,0 +1,111 @@
+"""Streaming decode latency on the real chip (VERDICT r3 item 6).
+
+Measures, for greedy and beam (+RNN-LM) modes at two block sizes, the
+per-chunk step latency (p50/p99 as the HOST observes it) and the streaming
+RTF over a continuous stream.  Every number includes the axon-tunnel
+round-trip in this environment (H2D samples + D2H ids per block); the
+script measures that RTT separately with a null device fetch so the
+on-host estimate (latency minus RTT) is reported alongside.
+
+    python scripts/bench_streaming.py [B=1 blocks=16,48 chunks=50]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    kv = dict(a.split("=", 1) for a in sys.argv[1:])
+    B = int(kv.get("B", 1))
+    blocks = [int(x) for x in kv.get("blocks", "16,48").split(",")]
+    n_chunks = int(kv.get("chunks", 50))
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_asr_tpu.configs.base import (BiLSTMEncoderConfig, DataConfig,
+                                              DecodeConfig, ExperimentConfig,
+                                              FrontendConfig, ModelConfig)
+    from pytorch_asr_tpu.decoding.streaming import StreamingRecognizer
+    from pytorch_asr_tpu.models.asr_model import ASRModel
+    from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
+
+    VOCAB = 31
+    enc = BiLSTMEncoderConfig(conv_channels=(32, 32), conv_kernel=(3, 3),
+                              conv_stride=(2, 2), hidden_dim=384,
+                              num_layers=4, dropout=0.0, use_pallas=False,
+                              bidirectional=False, causal_conv=True)
+    cfg = ExperimentConfig(
+        name="stream_bench",
+        frontend=FrontendConfig(normalize=False, specaugment=False),
+        data=DataConfig(),
+        model=ModelConfig(encoder=enc, ctc_weight=1.0,
+                          compute_dtype="float32"),
+        decode=DecodeConfig(method="greedy"),
+    )
+    model = ASRModel(cfg.frontend, cfg.model, vocab_size=VOCAB)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16000), jnp.float32),
+                        jnp.array([16000]))["params"]
+    rnn = CharRNNLM(RNNLMConfig(embed_dim=64, hidden_dim=256, num_layers=1),
+                    vocab_size=VOCAB)
+    rnn_params = rnn.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 4), jnp.int32))["params"]
+
+    print(f"backend: {jax.default_backend()}  B={B}  "
+          f"model: conv(32,32) 4x uniLSTM-384 V={VOCAB}")
+
+    # Tunnel round-trip: time a null device fetch (the floor every per-chunk
+    # number pays in this environment; on-host deployment would not).
+    x = jnp.zeros((B, 8), jnp.float32)
+    f = jax.jit(lambda x: x.sum())
+    float(f(x))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        float(f(x))
+    rtt = (time.perf_counter() - t0) / 20
+    print(f"tunnel null-fetch RTT: {rtt * 1e3:.1f} ms")
+
+    fe = cfg.frontend
+    rng = np.random.default_rng(0)
+
+    def run(mode, block_frames, **lm_kw):
+        rec = StreamingRecognizer(params, cfg, batch_size=B,
+                                  block_frames=block_frames, mode=mode,
+                                  **lm_kw)
+        advance = block_frames * fe.hop_length
+        chunk_sec = advance / fe.sample_rate
+        # prime: first block carries the win_length-hop tail requirement
+        pad = rec._need - advance
+        rec.accept(rng.normal(size=(B, pad)).astype(np.float32) * 0.1)
+        lat = []
+        for _ in range(n_chunks):
+            chunk = rng.normal(size=(B, advance)).astype(np.float32) * 0.1
+            t0 = time.perf_counter()
+            rec.accept(chunk)        # exactly one device block per call
+            lat.append(time.perf_counter() - t0)
+        lat = np.asarray(lat[5:])    # drop jit-compile / warmup blocks
+        p50, p99 = np.percentile(lat, 50), np.percentile(lat, 99)
+        rtf = float(lat.mean() / chunk_sec)
+        name = mode + ("+rnnlm" if lm_kw else "")
+        print(f"{name:12s} block={block_frames:3d} ({chunk_sec * 1e3:4.0f} ms"
+              f" audio): p50 {p50 * 1e3:6.1f} ms  p99 {p99 * 1e3:6.1f} ms  "
+              f"p50-RTT {max(0.0, p50 - rtt) * 1e3:5.1f} ms  "
+              f"streaming RTF {rtf:.4f}")
+
+    for bf in blocks:
+        run("greedy", bf)
+        run("beam", bf)
+        run("beam", bf, rnn_lm=rnn, rnn_lm_params=rnn_params,
+            lm_alpha=0.3, sos_id=VOCAB - 2)
+
+
+if __name__ == "__main__":
+    main()
