@@ -128,7 +128,8 @@ def make_decode_fn(trainer, lm_table=None, rnn_lm=None, rnn_lm_params=None,
                 max_len=cfg.decode.max_decode_len,
                 rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
                 sos_id=tok.sos_id, hash_lm=hash_lm,
-                lm_top_k=getattr(cfg.decode, "lm_top_k", 0))
+                lm_top_k=getattr(cfg.decode, "lm_top_k", 0),
+                ext_top_a=getattr(cfg.decode, "ext_top_a", 0))
             return toks, lens
 
         return decode_fn

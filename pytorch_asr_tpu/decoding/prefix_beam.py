@@ -137,7 +137,89 @@ def _build_candidates(state: BeamState, logp_t, *, blank, vocab, lm_table,
     return stay, ext
 
 
-def _merge_topk(stay: dict, ext: dict, K: int):
+def _build_candidates_topa(state: BeamState, logp_t, *, blank, vocab,
+                           lm_table, lm_alpha, lm_beta, K, L, A,
+                           lm_rows=None, hash_lm=None, ctx_window=False):
+    """Extension candidates restricted to the frame's top-A acoustic set.
+
+    The V-wide candidate axis is the cost driver of large-vocab fusion (the
+    per-candidate hash-table gather is (B, K, V, 32) floats per frame); this
+    builds ext fields (B, K, A) over the SHARED top-A chars of logp_t
+    instead.  The search changes only when the beam would extend by a char
+    outside the frame's top A — at A=128/V=1024 that char trails the 128th
+    acoustic score, so it essentially never survives the merge (WER-parity
+    tested).  Unlike ``lm_top_k`` (which approximates off-set scores with
+    stacked backoffs), every candidate the search CAN take carries its exact
+    LM score; n-gram lookup volume scales with A.
+
+    Returns (stay, ext) where ext carries explicit ``chars`` (= append ids);
+    merge with ``_merge_topk(..., sparse=True)``.
+    """
+    B = logp_t.shape[0]
+    total = _lse(state.pb, state.pnb)                      # (B, K)
+
+    lp_blank = logp_t[:, None, blank]
+    lp_last = jnp.take_along_axis(
+        logp_t[:, None, :].repeat(K, 1), jnp.maximum(state.last, 0)[..., None],
+        axis=2)[..., 0]
+    stay_pb = total + lp_blank
+    stay_pnb = jnp.where(state.last >= 0, state.pnb + lp_last, NEG_INF)
+
+    lp_top, top_idx = jax.lax.top_k(logp_t, A)             # (B, A)
+    chars = jnp.broadcast_to(top_idx[:, None, :], (B, K, A))
+    lp_c = lp_top[:, None, :]
+    is_repeat = chars == state.last[..., None]
+    base = jnp.where(is_repeat, state.pb[..., None], total[..., None])
+    ext_pnb = base + lp_c
+    ext_pnb = jnp.where(state.length[..., None] >= L, NEG_INF, ext_pnb)
+    ext_pnb = jnp.where(chars == blank, NEG_INF, ext_pnb)
+
+    if hash_lm is not None:
+        from pytorch_asr_tpu.decoding.lm_hashed import hashed_lm_logp_rows
+
+        rows_a = hashed_lm_logp_rows(hash_lm, state.ctx, cands=chars)
+        lm_add = lm_alpha * rows_a + lm_beta
+        ext_lm = state.lm_s[..., None] + lm_add
+    elif lm_rows is not None:                              # RNN-LM carry
+        rows_a = jnp.take_along_axis(lm_rows, chars, axis=2)
+        ext_lm = state.lm_s[..., None] + lm_alpha * rows_a + lm_beta
+    elif lm_table is not None:
+        lm_row = lm_table[state.ctx]                       # (B, K, V)
+        rows_a = jnp.take_along_axis(lm_row, chars, axis=2)
+        ext_lm = state.lm_s[..., None] + lm_alpha * rows_a + lm_beta
+    else:
+        ext_lm = jnp.broadcast_to(state.lm_s[..., None], ext_pnb.shape)
+
+    if ctx_window:
+        C = state.ctx.shape[-1]
+        base_ctx = jnp.broadcast_to(state.ctx[:, :, None, 1:],
+                                    (B, K, A, C - 1)) if C > 1 else \
+            jnp.zeros((B, K, A, 0), jnp.int32)
+        ext_ctx = jnp.concatenate([base_ctx, chars[..., None]], axis=-1)
+    elif lm_table is not None:
+        n_ctx = lm_table.shape[0]
+        ext_ctx = (state.ctx[..., None] * vocab + chars) % n_ctx
+    else:
+        ext_ctx = jnp.broadcast_to(state.ctx[..., None], ext_pnb.shape)
+
+    ext_hash = state.hash[..., None] * HASH_MULT + chars
+    pid = jnp.arange(K, dtype=jnp.int32)
+    stay = {
+        "pb": stay_pb, "pnb": stay_pnb, "lm": state.lm_s, "hash": state.hash,
+        "ctx": state.ctx, "last": state.last,
+        "parent": jnp.broadcast_to(pid[None, :], (B, K)),
+        "append": jnp.full((B, K), -1, jnp.int32),
+    }
+    ext = {
+        "pnb": ext_pnb, "lm": ext_lm, "hash": ext_hash, "ctx": ext_ctx,
+        "last": chars, "chars": chars,
+        "parent": jnp.broadcast_to(pid[None, :, None], (B, K, A)),
+        "append": chars,
+    }
+    return stay, ext
+
+
+def _merge_topk(stay: dict, ext: dict, K: int, sparse: bool = False):
     """Absorb duplicate prefixes, keep top-K.  Returns (score, fields).
 
     Two candidates denote the same prefix iff their rolling hashes match,
@@ -167,25 +249,44 @@ def _merge_topk(stay: dict, ext: dict, K: int):
     """
     B, Ks = stay["hash"].shape
     nb = ext["pnb"].shape[2]
-    # Char by which parent k's prefix would extend to stay k''s prefix.
-    # int32 wraparound matches the rolling-hash update exactly.
-    cmat = stay["hash"][:, None, :] - HASH_MULT * stay["hash"][:, :, None]
     alive = _lse(stay["pb"], stay["pnb"]) > NEG_INF / 2    # (B, Ks)
-    match = (cmat >= 1) & (cmat <= nb) & alive[:, None, :]  # (B, Kc, Ks)
-    em = jnp.take_along_axis(ext["pnb"], jnp.clip(cmat - 1, 0, nb - 1), axis=2)
-    em = jnp.where(match, em, NEG_INF)                     # (B, Kc, Ks)
-    m = jnp.max(em, axis=1)                                # (B, Ks)
-    add = jnp.where(
-        m > NEG_INF / 2,
-        m + jnp.log(jnp.sum(jnp.exp(em - jnp.maximum(m, NEG_INF)[:, None, :]),
-                            axis=1)),
-        NEG_INF)
-    stay_pnb = _lse(stay["pnb"], add)
-    # Absorbed exts must not be selected again (their mass now lives in the
-    # stay): scatter the match back onto the (k, c) grid.
-    hit = match[..., None] & (jax.nn.one_hot(
-        jnp.clip(cmat - 1, 0, nb - 1), nb, dtype=bool))    # (B, Kc, Ks, nb)
-    absorbed = jnp.any(hit, axis=2)                        # (B, Kc, nb)
+    if sparse:
+        # Restricted-candidate mode (_build_candidates_topa): ext chars are
+        # an arbitrary per-frame subset, so duplicates are found by DIRECT
+        # hash equality against the stays (the identical 32-bit-collision
+        # assumption the cmat path makes, minus its positional indexing).
+        m4 = (ext["hash"][..., None] == stay["hash"][:, None, None, :]) \
+            & alive[:, None, None, :] & (ext["chars"][..., None] >= 1)
+        em4 = jnp.where(m4, ext["pnb"][..., None], NEG_INF)  # (B, Kc, A, Ks)
+        m = jnp.max(em4, axis=(1, 2))                        # (B, Ks)
+        add = jnp.where(
+            m > NEG_INF / 2,
+            m + jnp.log(jnp.sum(
+                jnp.exp(em4 - jnp.maximum(m, NEG_INF)[:, None, None, :]),
+                axis=(1, 2))),
+            NEG_INF)
+        stay_pnb = _lse(stay["pnb"], add)
+        absorbed = jnp.any(m4, axis=3)                       # (B, Kc, A)
+    else:
+        # Char by which parent k's prefix would extend to stay k''s prefix.
+        # int32 wraparound matches the rolling-hash update exactly.
+        cmat = stay["hash"][:, None, :] - HASH_MULT * stay["hash"][:, :, None]
+        match = (cmat >= 1) & (cmat <= nb) & alive[:, None, :]  # (B, Kc, Ks)
+        em = jnp.take_along_axis(ext["pnb"], jnp.clip(cmat - 1, 0, nb - 1),
+                                 axis=2)
+        em = jnp.where(match, em, NEG_INF)                 # (B, Kc, Ks)
+        m = jnp.max(em, axis=1)                            # (B, Ks)
+        add = jnp.where(
+            m > NEG_INF / 2,
+            m + jnp.log(jnp.sum(
+                jnp.exp(em - jnp.maximum(m, NEG_INF)[:, None, :]), axis=1)),
+            NEG_INF)
+        stay_pnb = _lse(stay["pnb"], add)
+        # Absorbed exts must not be selected again (their mass now lives in
+        # the stay): scatter the match back onto the (k, c) grid.
+        hit = match[..., None] & (jax.nn.one_hot(
+            jnp.clip(cmat - 1, 0, nb - 1), nb, dtype=bool))  # (B, Kc, Ks, nb)
+        absorbed = jnp.any(hit, axis=2)                    # (B, Kc, nb)
 
     stay_score = _lse(stay["pb"], stay_pnb) + stay["lm"]
     ext_score = jnp.where(absorbed, NEG_INF, ext["pnb"] + ext["lm"])
@@ -261,9 +362,22 @@ def _gather_lm(carry: LMCarry, parent) -> LMCarry:
 
 def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
           lm_alpha, lm_beta, lm_order, K, L, rnn_lm=None, rnn_lm_params=None,
-          lm_carry: LMCarry | None = None, hash_lm=None, lm_top_k: int = 0):
+          lm_carry: LMCarry | None = None, hash_lm=None, lm_top_k: int = 0,
+          ext_top_a: int = 0):
     B = logp_t.shape[0]
     lm_rows = lm_carry.logp if lm_carry is not None else None
+    if 0 < ext_top_a < vocab:
+        # Restricted-candidate search: ext candidates = the frame's top-A
+        # acoustic chars, exact LM everywhere the search can go (the
+        # large-vocab fusion fast path; see _build_candidates_topa).
+        stay, ext = _build_candidates_topa(
+            state, logp_t, blank=blank, vocab=vocab, lm_table=lm_table,
+            lm_alpha=lm_alpha, lm_beta=lm_beta, K=K, L=L, A=ext_top_a,
+            lm_rows=lm_rows, hash_lm=hash_lm,
+            ctx_window=hash_lm is not None)
+        top_score, f = _merge_topk(stay, ext, K, sparse=True)
+        return _finish_step(state, f, active, B, K, L, vocab,
+                            rnn_lm, rnn_lm_params, lm_carry)
     if hash_lm is not None:
         # Hashed backoff n-gram (large-vocab fusion): score rows are a pure
         # function of the context window carried in state.ctx.
@@ -296,6 +410,13 @@ def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
         lm_alpha=lm_alpha, lm_beta=lm_beta, K=K, L=L,
         lm_rows=lm_rows, ctx_window=hash_lm is not None)
     top_score, f = _merge_topk(stay, ext, K)
+    return _finish_step(state, f, active, B, K, L, vocab,
+                        rnn_lm, rnn_lm_params, lm_carry)
+
+
+def _finish_step(state: BeamState, f: dict, active, B, K, L, vocab,
+                 rnn_lm, rnn_lm_params, lm_carry: LMCarry | None):
+    """Token rebuild, freeze, and RNN-LM carry advance after a merge."""
     parent, append = f["parent"], f["append"]
     new_pb, new_pnb = f["pb"], f["pnb"]
 
@@ -345,7 +466,7 @@ def _step(state: BeamState, logp_t, active, *, blank, vocab, lm_table,
 
 @partial(jax.jit, static_argnames=("beam_size", "blank", "lm_alpha", "lm_beta",
                                    "lm_order", "max_len", "rnn_lm", "sos_id",
-                                   "use_fused", "lm_top_k"))
+                                   "use_fused", "lm_top_k", "ext_top_a"))
 def prefix_beam_search(
     logits: jax.Array,           # (B, T, V)
     logit_len: jax.Array,        # (B,)
@@ -367,6 +488,10 @@ def prefix_beam_search(
                                      # scan at B=16 K=16 V=32 on v5e);
                                      # True: force it; False: XLA scan
     lm_top_k: int = 0,           # acoustic-pruned hashed fusion (see _step)
+    ext_top_a: int = 0,          # restrict ext candidates to the frame's
+                                 # top-A acoustic chars, exact LM on all of
+                                 # them (_build_candidates_topa) -- the
+                                 # recommended BPE/large-vocab mode
 ):
     """Returns (tokens (B, L), lengths (B,), scores (B,)) -- best beam per row.
 
@@ -377,7 +502,8 @@ def prefix_beam_search(
     with each beam hypothesis on device.
     """
     B, T, V = logits.shape
-    no_lm = lm_table is None and rnn_lm is None and hash_lm is None
+    no_lm = (lm_table is None and rnn_lm is None and hash_lm is None
+             and not ext_top_a)
     if use_fused is None:
         # Auto: the lane-parallel fused kernel (ops/beam_pallas.py,
         # prefix_beam_fused_lanes) wins 3.5x over this scan on v5e at the
@@ -407,7 +533,7 @@ def prefix_beam_search(
     step = partial(_step, blank=blank, vocab=V, lm_table=lm_table,
                    lm_alpha=lm_alpha, lm_beta=lm_beta, lm_order=lm_order,
                    K=K, L=L, rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
-                   hash_lm=hash_lm, lm_top_k=lm_top_k)
+                   hash_lm=hash_lm, lm_top_k=lm_top_k, ext_top_a=ext_top_a)
 
     def scan_fn(carry, inp):
         state, lm_carry = carry
@@ -457,7 +583,7 @@ def prefix_beam_continue(state: BeamState, logp: jax.Array,
                          lm_alpha: float = 0.0, lm_beta: float = 0.0,
                          hash_lm=None, rnn_lm=None, rnn_lm_params=None,
                          lm_carry: LMCarry | None = None,
-                         lm_top_k: int = 0,
+                         lm_top_k: int = 0, ext_top_a: int = 0,
                          ) -> tuple[BeamState, LMCarry | None]:
     """Advance the beam over ONE chunk of (B, Tc, V) log-softmax frames.
 
@@ -477,7 +603,7 @@ def prefix_beam_continue(state: BeamState, logp: jax.Array,
     step = partial(_step, blank=blank, vocab=V, lm_table=lm_table,
                    lm_alpha=lm_alpha, lm_beta=lm_beta, lm_order=3, K=K, L=L,
                    rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
-                   hash_lm=hash_lm, lm_top_k=lm_top_k)
+                   hash_lm=hash_lm, lm_top_k=lm_top_k, ext_top_a=ext_top_a)
 
     def scan_fn(carry, inp):
         st, lmc = carry

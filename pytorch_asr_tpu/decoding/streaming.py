@@ -181,14 +181,15 @@ def _stream_step(static, params, state: StreamState, samples, n_frames,
     """One block: samples -> log-mel -> causal conv -> LSTM -> greedy emit.
 
     Args:
-      static: (cfg, block_frames, rnn_lm, lm_alpha, lm_beta, lm_top_k) — hashable.
+      static: (cfg, block_frames, rnn_lm, lm_alpha, lm_beta, lm_top_k,
+      ext_top_a) — hashable.
       samples: (B, (block_frames-1)*hop + win) f32.
       n_frames: (B,) int32 valid frame count in this block (<= block_frames).
       lm_table / hash_lm / rnn_lm_params: beam-mode LM fusion sources
         (device pytrees; traced so swapping LMs never recompiles the step).
     Returns: (new_state, ids (B, out_T) left-packed, n_ids (B,)).
     """
-    cfg, block_frames, rnn_lm, lm_alpha, lm_beta, lm_top_k = static
+    cfg, block_frames, rnn_lm, lm_alpha, lm_beta, lm_top_k, ext_top_a = static
     enc = cfg.model.encoder
     fe = cfg.frontend
     kt, kf = enc.conv_kernel
@@ -262,7 +263,8 @@ def _stream_step(static, params, state: StreamState, samples, n_frames,
             state.beam, logp, lengths,
             lm_table=lm_table, lm_alpha=lm_alpha, lm_beta=lm_beta,
             hash_lm=hash_lm, rnn_lm=rnn_lm, rnn_lm_params=rnn_lm_params,
-            lm_carry=state.lm_carry, lm_top_k=lm_top_k)
+            lm_carry=state.lm_carry, lm_top_k=lm_top_k,
+            ext_top_a=ext_top_a)
         toks, n_ids, _ = beam_best(new_beam)
         new_state = StreamState(conv_ctx=tuple(new_ctx), lstm_h=tuple(new_h),
                                 lstm_c=tuple(new_c), prev_tok=state.prev_tok,
@@ -310,7 +312,8 @@ class StreamingRecognizer:
                  mode: str = "greedy", lm_table=None, hash_lm=None,
                  rnn_lm=None, rnn_lm_params=None,
                  lm_alpha: float = 0.0, lm_beta: float = 0.0,
-                 sos_id: int | None = None, lm_top_k: int = 0):
+                 sos_id: int | None = None, lm_top_k: int = 0,
+                 ext_top_a: int = 0):
         if mode not in ("greedy", "beam"):
             raise ValueError(f"unknown streaming mode {mode!r}")
         if mode != "beam" and (lm_table is not None or hash_lm is not None
@@ -325,6 +328,7 @@ class StreamingRecognizer:
         self.lm_beta = float(lm_beta)
         self.sos_id = sos_id
         self.lm_top_k = int(lm_top_k)
+        self.ext_top_a = int(ext_top_a)
         enc = _check_streamable(cfg)
         total_stride = 1
         for _ in enc.conv_channels:
@@ -355,7 +359,7 @@ class StreamingRecognizer:
     def _run_block(self, samples: np.ndarray, n_frames: int) -> list[list[int]]:
         state, ids, n = _stream_step(
             (self.cfg, self.block_frames, self.rnn_lm,
-             self.lm_alpha, self.lm_beta, self.lm_top_k),
+             self.lm_alpha, self.lm_beta, self.lm_top_k, self.ext_top_a),
             self.params, self.state,
             jnp.asarray(samples),
             jnp.full((self.batch_size,), n_frames, jnp.int32),

@@ -92,6 +92,13 @@ def main() -> None:
             measure(f"hashed A={A}", lambda: pb.prefix_beam_search(
                 logits, lens, beam_size=K, hash_lm=hl,
                 lm_alpha=0.5, lm_beta=1.0, use_fused=False, lm_top_k=A))
+            # restricted-candidate search: exact LM on the frame's top-A
+            # acoustic ext candidates (round 4; _build_candidates_topa)
+            measure(f"hashed ext_top_a={A}", lambda: pb.prefix_beam_search(
+                logits, lens, beam_size=K, hash_lm=hl,
+                lm_alpha=0.5, lm_beta=1.0, use_fused=False, ext_top_a=A))
+            measure(f"no-LM ext_top_a={A}", lambda: pb.prefix_beam_search(
+                logits, lens, beam_size=K, use_fused=False, ext_top_a=A))
 
         # RNN LM fusion: per-beam (h, c) carried with the hypotheses.
         from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig

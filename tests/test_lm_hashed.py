@@ -252,3 +252,77 @@ def test_beam_lm_top_k_full_width_is_exact():
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
     t2, n2, _ = prefix_beam_search(logits, lens, lm_top_k=8, **kw)
     assert np.asarray(n2).min() >= 0  # decodes without error
+
+
+def test_ext_top_a_full_width_matches_unrestricted():
+    """ext_top_a = V admits every candidate with its exact LM score, so the
+    restricted search must reproduce the unrestricted one exactly (modulo
+    tie order, which continuous random logits never hit)."""
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+
+    tok = CharTokenizer()
+    lm = train_char_ngram_kn(TEXTS, order=3)
+    hl = build_hashed_lm(lm, tok.vocab_size)
+    rng = np.random.default_rng(9)
+    B, T, V = 2, 20, tok.vocab_size
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32)) * 2
+    lens = jnp.asarray([T, T - 4], jnp.int32)
+    kw = dict(beam_size=4, hash_lm=hl, lm_alpha=0.5, lm_beta=0.4,
+              max_len=T + 1, use_fused=False)
+    t0, n0, s0 = prefix_beam_search(logits, lens, **kw)
+    t1, n1, s1 = prefix_beam_search(logits, lens, ext_top_a=V - 1, **kw)
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
+
+
+def test_ext_top_a_small_matches_on_peaked_logits(bpe_tok):
+    """With mass concentrated on few chars per frame, a small A reproduces
+    the unrestricted BPE search token-for-token (the WER-parity property:
+    the pruned char never survives the merge anyway)."""
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+
+    lm = train_char_ngram_kn(TEXTS, order=3, tokenizer=bpe_tok)
+    V = bpe_tok.vocab_size
+    hl = build_hashed_lm(lm, V)
+    rng = np.random.default_rng(11)
+    B, T, K = 2, 18, 4
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    path = rng.integers(0, V, size=(B, T))
+    for b in range(B):
+        logits[b, np.arange(T), path[b]] += 6.0
+    logits = jnp.asarray(logits)
+    lens = jnp.full((B,), T, jnp.int32)
+    kw = dict(beam_size=K, hash_lm=hl, lm_alpha=0.4, lm_beta=0.3,
+              max_len=T + 1, use_fused=False)
+    t0, n0, _ = prefix_beam_search(logits, lens, **kw)
+    t1, n1, _ = prefix_beam_search(logits, lens, ext_top_a=16, **kw)
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_ext_top_a_rnn_fusion_matches():
+    """Restricted search under RNN-LM fusion: full-width A equals the
+    unrestricted RNN-fusion search (carry gathers ride parent/append)."""
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+    from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
+
+    import jax
+
+    tok = CharTokenizer()
+    V = tok.vocab_size
+    rnn = CharRNNLM(RNNLMConfig(embed_dim=8, hidden_dim=16, num_layers=1),
+                    vocab_size=V)
+    params = rnn.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 4), jnp.int32))["params"]
+    rng = np.random.default_rng(13)
+    B, T = 2, 14
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32)) * 2
+    lens = jnp.full((B,), T, jnp.int32)
+    kw = dict(beam_size=4, rnn_lm=rnn, rnn_lm_params=params, lm_alpha=0.4,
+              sos_id=tok.sos_id, max_len=T + 1, use_fused=False)
+    t0, n0, s0 = prefix_beam_search(logits, lens, **kw)
+    t1, n1, s1 = prefix_beam_search(logits, lens, ext_top_a=V - 1, **kw)
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
