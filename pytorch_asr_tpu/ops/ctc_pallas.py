@@ -37,6 +37,26 @@ dot_generals and relayouts that XLA fuses.  The HBM lattice streams overlap
 the recursion via the BlockSpec pipeline, so removing them buys nothing.
 This file keeps the fastest measured design; the roofline entry documents
 the VPU bound (scripts/roofline.py).
+
+ROUND-4 STUDY (VERDICT r3 item 7): attack the serial-iteration COUNT.
+``_fwd_kernel_paired`` composes two frames into one sequential iteration:
+the 2-step transition is a 5-term logsumexp over shifts 0..4 whose weights
+W_m depend only on the emissions (computable off the alpha chain), so the
+alpha-dependent dependency depth halves -- at the cost of ~2.3x the vector
+work (the W build, the lse5, plus the single-step a1 the backward pass and
+mid-pair-freeze rows still need).  Parity: exact for loss AND grads incl.
+odd lens (mid-pair freeze) and the t==0 pair.  MEASURED on v5e at the
+bench shape (B=128 T=250 S=513, 3 alternated repetitions, median):
+
+    forward kernel      plain 0.689 ms   paired 0.797 ms   (-16%)
+    fwd+bwd (jax.grad)  plain 1.193 ms   paired 1.299 ms   (-9%)
+
+REFUTED: the recursion is THROUGHPUT-bound on the VPU, not latency-bound --
+shortening the dependency chain buys nothing because the per-iteration
+vector ops already issue back-to-back; the extra parallel work is pure
+cost.  Together with the round-2 memory-system refutations this closes
+both attack axes the roofline model suggests; the plain kernel stands ON
+EVIDENCE.  The paired kernel is kept behind ``PAIRED_FWD`` as the record.
 """
 
 from __future__ import annotations
@@ -59,6 +79,7 @@ from pytorch_asr_tpu.ops.runtime import pallas_active, pallas_interpret
 LANE = 128
 TIME_CHUNK = 32
 BATCH_BLOCK = 16   # caps VMEM: chunk buffers are (TIME_CHUNK, BATCH_BLOCK, S)
+PAIRED_FWD = False  # opt-in study kernel (_fwd_kernel_paired); see its doc
 
 
 def _round_up(x: int, m: int) -> int:
@@ -103,6 +124,81 @@ def _fwd_kernel(logp_ref, skip_ref, len_ref, alphas_ref, final_ref,
         alpha = jnp.where(t == 0, alpha0,
                           jnp.where(t < lens, anew, alpha))
         alphas_ref[j] = alpha
+    alpha_sc[:] = alpha
+    final_ref[:] = alpha
+
+
+def _lse5(a, b, c, d, e):
+    m = jnp.maximum(jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d)), e)
+    m = jnp.maximum(m, NEG_INF)
+    tot = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m)
+                      + jnp.exp(d - m) + jnp.exp(e - m))
+    return jnp.maximum(tot, NEG_INF)
+
+
+def _fwd_kernel_paired(logp_ref, skip_ref, len_ref, alphas_ref, final_ref,
+                       alpha_sc, *, tc: int, s_pad: int):
+    """Round-4 study (VERDICT r3 item 7): two frames per sequential
+    iteration via the COMPOSED transition.
+
+    One step is  A_t(x)[s] = lse(x[s], x[s-1], x[s-2]+K[s]) + P_t[s].
+    Composing two,  A_{t+1}(A_t(x))[s] = P_{t+1}[s]
+                    + lse_{m=0..4}( x[s-m] + W_m[s] )  with
+        W_0 = P_t[s]
+        W_1 = lse(P_t[s], P_t[s-1])
+        W_2 = lse(P_t[s]+K[s], P_t[s-1], P_t[s-2]+K[s])
+        W_3 = lse(P_t[s-1]+K[s-1], P_t[s-2]+K[s])
+        W_4 = P_t[s-2] + K[s] + K[s-2]
+    The W_m depend only on the emissions, so the alpha-dependent critical
+    path per PAIR of frames is one 5-term logsumexp instead of two chained
+    3-term ones.  The single-step result a1 is still computed (the backward
+    pass consumes every alpha, and rows freezing mid-pair need it), so the
+    variant trades ~2.3x the vector work for ~0.6x the dependency depth --
+    a pure experiment on whether the recursion is latency- or
+    throughput-bound.  Measured result: see the module docstring study.
+    """
+    i = pl.program_id(1)
+    B = logp_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, s_pad), 1)
+    alpha = alpha_sc[:]
+    K0 = skip_ref[:]
+    K1 = _shift_r(K0, 1, lane)
+    K2 = _shift_r(K0, 2, lane)
+    lens = len_ref[:]
+    for j in range(0, tc, 2):
+        t = i * tc + j
+        p0 = logp_ref[j]                        # P_t
+        p1 = logp_ref[j + 1]                    # P_{t+1}
+        p0s1 = _shift_r(p0, 1, lane)
+        p0s2 = _shift_r(p0, 2, lane)
+        # ---- emission-only pair weights (off the alpha chain) --------------
+        w0 = p0
+        w1 = jnp.logaddexp(p0, p0s1)
+        w2 = _logsumexp3(p0 + K0, p0s1, p0s2 + K0)
+        w3 = jnp.logaddexp(p0s1 + K1, p0s2 + K0)
+        w4 = p0s2 + K0 + K2
+        # ---- single step a1 (stored; also the mid-pair freeze value) -------
+        a1n = _logsumexp3(alpha, _shift_r(alpha, 1, lane),
+                          _shift_r(alpha, 2, lane) + K0) + p0
+        a1n = jnp.maximum(a1n, NEG_INF)
+        alpha0 = jnp.where(lane < 2, p0, NEG_INF)
+        a1 = jnp.where(t == 0, alpha0, jnp.where(t < lens, a1n, alpha))
+        # ---- composed double step ------------------------------------------
+        a2 = _lse5(alpha + w0,
+                   _shift_r(alpha, 1, lane) + w1,
+                   _shift_r(alpha, 2, lane) + w2,
+                   _shift_r(alpha, 3, lane) + w3,
+                   _shift_r(alpha, 4, lane) + w4) + p1
+        a2 = jnp.maximum(a2, NEG_INF)
+        # t == 0 pair: second step applies to alpha0, not to A_t(x)
+        t0_out = _logsumexp3(alpha0, _shift_r(alpha0, 1, lane),
+                             _shift_r(alpha0, 2, lane) + K0) + p1
+        t0_out = jnp.maximum(t0_out, NEG_INF)
+        out = jnp.where(t + 1 < lens,
+                        jnp.where(t == 0, t0_out, a2), a1)
+        alphas_ref[j] = a1
+        alphas_ref[j + 1] = out
+        alpha = out
     alpha_sc[:] = alpha
     final_ref[:] = alpha
 
@@ -188,7 +284,9 @@ def _run_forward(logp_tbs, skip_add, logit_len, s_pad, t_pad):
     skip_add = _pad_batch(skip_add, b_pad, 0, NEG_INF)
     lens = _pad_batch(logit_len.astype(jnp.int32)[:, None], b_pad, 0, 0)
     n_chunks = t_pad // TIME_CHUNK
-    kern = functools.partial(_fwd_kernel, tc=TIME_CHUNK, s_pad=s_pad)
+    kern = functools.partial(
+        _fwd_kernel_paired if PAIRED_FWD else _fwd_kernel,
+        tc=TIME_CHUNK, s_pad=s_pad)
     alphas, final = pl.pallas_call(
         kern,
         grid=(b_pad // bb, n_chunks),

@@ -71,3 +71,33 @@ def test_pallas_ctc_repeats():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_paired_fwd_kernel_parity():
+    """The round-4 study kernel (_fwd_kernel_paired, composed 2-frame
+    transition) must stay exact -- loss AND grads -- incl. odd lens that
+    freeze mid-pair and the t == 0 pair.  Kept as the measured-refutation
+    record (see the module docstring study)."""
+    from pytorch_asr_tpu.ops import ctc_pallas as cp
+
+    rng = np.random.default_rng(7)
+    B, T, V, S = 6, 70, 12, 9
+    logits = jnp.asarray(rng.standard_normal((B, T, V)), jnp.float32)
+    llen = jnp.asarray([T, T - 1, T - 2, 37, 1, 5], jnp.int32)
+    toks = jnp.asarray(rng.integers(1, V, size=(B, S)), jnp.int32)
+    tlen = jnp.asarray([S, S - 1, 3, 5, 1, 2], jnp.int32)
+    args = (logits, llen, toks, tlen)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            cp.PAIRED_FWD = True
+            ours = ctc_loss_pallas(*args)
+            g_ours = jax.grad(
+                lambda lg: jnp.sum(ctc_loss_pallas(lg, *args[1:])))(logits)
+    finally:
+        cp.PAIRED_FWD = False
+    ref = ctc_loss(*args)
+    g_ref = jax.grad(lambda lg: jnp.sum(ctc_loss(lg, *args[1:])))(logits)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)
