@@ -42,13 +42,16 @@ def main(argv: list[str] | None = None) -> None:
     from pytorch_asr_tpu.training.trainer import Trainer
 
     trainer = Trainer(cfg, **runtime)
-    total = steps or cfg.train.optim.total_steps
-    done = int(trainer.state.step)
-    while done < total:
-        chunk = min(cfg.train.eval_every, total - done)
-        trainer.train(num_steps=chunk)
-        trainer.evaluate(max_batches=8)
+    try:
+        total = steps or cfg.train.optim.total_steps
         done = int(trainer.state.step)
+        while done < total:
+            chunk = min(cfg.train.eval_every, total - done)
+            trainer.train(num_steps=chunk)
+            trainer.evaluate(max_batches=8)
+            done = int(trainer.state.step)
+    finally:
+        trainer.close()
 
 
 if __name__ == "__main__":

@@ -220,6 +220,22 @@ class Trainer:
             self._ckpt.wait()
         return last
 
+    def close(self) -> None:
+        """Deterministic teardown: stop the grain prefetch thread (idempotent).
+
+        The producer is a daemon thread, so process exit never hangs on it --
+        but a still-running producer keeps decoding audio in the background,
+        which matters when several Trainers share one process (tests, eval
+        sweeps).  Safe to call more than once."""
+        if self.train_iter is not None:
+            self.train_iter.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def _iter_state(self):
         return self.train_iter.get_state() if self.train_iter is not None else None
 

@@ -109,7 +109,7 @@ def test_encode_applies_merges_in_rank_order():
         assert len(got) <= len(ref)  # rank-order encode is at least as merged
 
 
-def test_trainer_e2e_with_bpe(tmp_path):
+def test_trainer_e2e_with_bpe(tmp_path, request):
     """Full integration: train a tiny CTC model with a BPE vocab and decode."""
     from pytorch_asr_tpu.configs import get_config
     from pytorch_asr_tpu.configs.base import (BiLSTMEncoderConfig, DataConfig,
@@ -136,6 +136,7 @@ def test_trainer_e2e_with_bpe(tmp_path):
                                             total_steps=200)),
     )
     trainer = Trainer(cfg, enable_checkpoints=False)
+    request.addfinalizer(trainer.close)
     assert isinstance(trainer.tokenizer, BPETokenizer)
     assert trainer.tokenizer.vocab_size == \
         get_tokenizer(f"bpe:{vocab_path}").vocab_size

@@ -269,12 +269,12 @@ def test_trainer_evaluates_on_dev_split(ls_root):
                                         use_pallas=False),
             compute_dtype="float32"),
     )
-    tr = Trainer(cfg, enable_checkpoints=False)
-    # train split has 6 utts (2 speakers x 3), dev-clean also 6 — but they
-    # are different corpora; pin the eval dataset's size and separateness.
-    assert tr.eval_dataset is not tr.dataset
-    res = tr.evaluate(max_batches=2)
-    assert res["num_utts"] > 0
+    with Trainer(cfg, enable_checkpoints=False) as tr:
+        # train split has 6 utts (2 speakers x 3), dev-clean also 6 — but they
+        # are different corpora; pin the eval dataset's size and separateness.
+        assert tr.eval_dataset is not tr.dataset
+        res = tr.evaluate(max_batches=2)
+        assert res["num_utts"] > 0
 
 
 def test_bucketed_dataset_lazy_no_decode_at_construction(ls_root, monkeypatch):
@@ -282,12 +282,23 @@ def test_bucketed_dataset_lazy_no_decode_at_construction(ls_root, monkeypatch):
     transcripts at construction, one batch of decodes per emitted batch."""
     from pytorch_asr_tpu.data.batching import BucketedDataset
 
+    import threading
+
     root, _ = ls_root
     corpus = load_corpus(root, "train-960")
     corpus.audio_lengths()                   # pre-probe headers
     calls = []
     real = ls.load_audio
-    monkeypatch.setattr(ls, "load_audio", lambda p: (calls.append(p) or real(p)))
+    main = threading.main_thread()
+
+    def counting(p):
+        # Count only this test's decodes: an earlier test's daemon prefetch
+        # thread (Trainer grain pipeline) may still drain through this patch.
+        if threading.current_thread() is main:
+            calls.append(p)
+        return real(p)
+
+    monkeypatch.setattr(ls, "load_audio", counting)
     ds = BucketedDataset(corpus, batch_size=4,
                          bucket_audio_lens=(3 * SR,), bucket_label_lens=(32,))
     assert calls == []                       # constructing = zero decodes
