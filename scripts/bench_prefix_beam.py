@@ -128,6 +128,15 @@ def main() -> None:
             prefix_beam_fused_lanes, static_argnums=(2, 3, 4))(
             logits, lens, K, 0, 256))
 
+        # dense-LM fusion INSIDE the kernel (round 4): (n_ctx, V) table
+        # VMEM-resident, one-hot MXU row gathers, ctx + lm score in scratch
+        n_ctx = min(V * V, 4096)
+        table_l = jnp.asarray(
+            np.log(rng.dirichlet(np.ones(V), size=n_ctx)).astype(np.float32))
+        measure("lanes+dense", lambda: jax.jit(
+            prefix_beam_fused_lanes, static_argnums=(2, 3, 4, 6, 7))(
+            logits, lens, K, 0, 256, table_l, 0.5, 1.0))
+
     # ---- merge+topk alone (scan over the same candidate work) --------------
     state = pb._init_state(B, K, 256)
     logp = jax.nn.log_softmax(logits, axis=-1)

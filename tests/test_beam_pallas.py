@@ -55,6 +55,33 @@ def test_lanes_beam_matches_xla_beam(seed):
     _compare(logits, lens, K, L, fused=prefix_beam_fused_lanes)
 
 
+@pytest.mark.parametrize("seed,n_ctx_pow", [(0, 2), (1, 1), (4, 2)])
+def test_lanes_beam_dense_lm_matches_xla_beam(seed, n_ctx_pow):
+    """In-kernel dense shallow fusion: token parity + fused-score parity
+    against the scan path with the same (n_ctx, V) table (bigram and
+    trigram-style context widths)."""
+    rng = np.random.default_rng(seed)
+    B, T, V, K, L = 2, 16, 16, 8, 20
+    n_ctx = V ** n_ctx_pow
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 5], np.int32)
+    tab = rng.normal(size=(n_ctx, V)).astype(np.float32)
+    tab = jnp.asarray(tab - np.log(np.exp(tab).sum(axis=1, keepdims=True)))
+    tk, lk, sk = prefix_beam_fused_lanes(logits, lens, beam_size=K, max_len=L,
+                                         lm_table=tab, lm_alpha=0.4,
+                                         lm_beta=1.2)
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    lm_table=tab, lm_alpha=0.4, lm_beta=1.2,
+                                    use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_lanes_beam_blank_dominated_gives_empty():
     B, T, V = 1, 12, 32
     logits = np.full((B, T, V), -8.0, np.float32)

@@ -253,3 +253,32 @@ def test_lanes_beam_parity_on_tpu():
                                       np.asarray(tx)[b, :n])
     np.testing.assert_allclose(np.asarray(sk), np.asarray(sx),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_lanes_beam_dense_lm_parity_on_tpu():
+    """In-kernel dense-LM fusion vs the scan-dense path ON HARDWARE: pins
+    the one-hot MXU row gathers, lax.rem context roll, and fused-score
+    ranking in the Mosaic compile (2.6x the scan on v5e, round 4)."""
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+    from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused_lanes
+
+    rng = np.random.default_rng(11)
+    B, T, V, K, L = 4, 64, 32, 16, 48
+    n_ctx = V * V
+    logits = jnp.asarray(rng.standard_normal((B, T, V)), jnp.float32)
+    lens = jnp.asarray([T, T - 7, T // 2, T - 1], np.int32)
+    tab = rng.normal(size=(n_ctx, V)).astype(np.float32)
+    tab = jnp.asarray(tab - np.log(np.exp(tab).sum(axis=1, keepdims=True)))
+    tk, lk, sk = jax.jit(
+        prefix_beam_fused_lanes, static_argnums=(2, 3, 4, 6, 7))(
+        logits, lens, K, 0, L, tab, 0.5, 1.0)
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    lm_table=tab, lm_alpha=0.5, lm_beta=1.0,
+                                    use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx),
+                               rtol=1e-4, atol=1e-3)
