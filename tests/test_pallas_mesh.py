@@ -97,3 +97,38 @@ def test_pallas_greedy_eval_on_mesh():
     res = tr.evaluate()
     assert res["num_utts"] == 8
     assert 0.0 <= res["wer"]
+
+
+def test_fused_beam_dense_lm_on_mesh_matches_single_device():
+    """The fused lane kernel (incl. in-kernel dense-LM fusion) under the
+    data mesh: use_fused=True wraps in maybe_data_shard_map, so each data
+    shard runs its own whole-utterance Pallas program.  Tokens must match
+    the unsharded scan path."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+    from pytorch_asr_tpu.parallel.mesh import make_mesh, use_mesh
+
+    rng = np.random.default_rng(5)
+    B, T, V, K, L = 8, 12, 16, 4, 16
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(T // 2, T + 1, size=B).astype(np.int32))
+    tab = rng.normal(size=(V, V)).astype(np.float32)
+    tab = jnp.asarray(tab - np.log(np.exp(tab).sum(axis=1, keepdims=True)))
+    mesh = make_mesh(MeshConfig(data_axis=-1, model_axis=1), batch_size=B)
+    assert mesh.devices.size == 8
+    with use_mesh(mesh):
+        tk, lk, sk = prefix_beam_search(
+            logits, lens, beam_size=K, max_len=L, lm_table=tab,
+            lm_alpha=0.4, lm_beta=0.7, use_fused=True)
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    lm_table=tab, lm_alpha=0.4, lm_beta=0.7,
+                                    use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-5,
+                               atol=1e-5)
