@@ -74,6 +74,10 @@ class DataConfig:
     # assembled ahead in a producer thread so host tokenize+pad overlaps
     # device compute.  0 = synchronous (debug).
     prefetch: int = 3
+    # Thread-pool width for per-batch parallel audio decode in the grain
+    # iterator (lazy corpora only; the C++ decoders release the GIL).
+    # 0 = auto: min(8, cpu_count - 1).
+    decode_workers: int = 0
     synthetic_num_utts: int = 128   # used when librispeech_root == ""
     # Optional target duration range for the synthetic corpus; 0 = default
     # word-count range (data/synthetic.py).

@@ -90,4 +90,5 @@ def build_grain_iterator(cfg: DataConfig, sample_rate: int,
         bucket_audio_lens=audio_b,
         bucket_label_lens=label_b,
         seed=cfg.shuffle_seed, num_shards=num_shards, shard_index=shard_index,
-        sortagrad=cfg.sortagrad, prefetch=getattr(cfg, "prefetch", 3))
+        sortagrad=cfg.sortagrad, prefetch=getattr(cfg, "prefetch", 3),
+        decode_workers=getattr(cfg, "decode_workers", 0))

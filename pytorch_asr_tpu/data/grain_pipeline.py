@@ -64,6 +64,27 @@ class _CorpusSource:
         return {"audio": audio, "text": text, "idx": base}
 
 
+class _MetaSource:
+    """Header-only source for lazy corpora: transcript + header sample count,
+    NO audio decode.  Bucket assignment needs only lengths, so with this
+    source the example stream never touches audio bytes -- decode happens
+    once per EMITTED batch, fanned over a thread pool (round 4)."""
+
+    def __init__(self, corpus, lengths: np.ndarray,
+                 indices: Sequence[int] | None = None) -> None:
+        self._corpus = corpus
+        self._lengths = lengths
+        self._indices = None if indices is None else np.asarray(indices, np.int64)
+
+    def __len__(self) -> int:
+        return len(self._corpus) if self._indices is None else len(self._indices)
+
+    def __getitem__(self, idx):
+        base = int(idx) if self._indices is None else int(self._indices[int(idx)])
+        return {"text": self._corpus.transcript(base),
+                "alen": int(self._lengths[base]), "idx": base}
+
+
 class GrainBucketedIterator:
     """Infinite bucketed-batch iterator over a grain pipeline.
 
@@ -86,13 +107,31 @@ class GrainBucketedIterator:
         tokenizer: CharTokenizer | None = None,
         sortagrad: bool = False,
         prefetch: int = 3,
+        decode_workers: int = 0,
     ) -> None:
         self.tokenizer = tokenizer or CharTokenizer()
         self.batch_size = batch_size
         self.buckets = make_buckets(bucket_audio_lens, bucket_label_lens)
         self.prefetch = int(prefetch)
         self._corpus = corpus
-        ds = grain.MapDataset.source(_CorpusSource(corpus))
+        # Lazy-metadata mode (round 4): for corpora with header-only lengths
+        # (LazyCorpus), the example stream carries (idx, text, header length)
+        # and audio decodes once per EMITTED batch, fanned over a thread pool
+        # -- the C++ decoders release the GIL (ctypes.CDLL), so a batch of
+        # files decodes in parallel instead of serially inside the stream.
+        self._lazy = (hasattr(corpus, "audio_lengths")
+                      and hasattr(corpus, "transcript"))
+        self._pool = None
+        if self._lazy:
+            import os as _os
+
+            self._lengths = np.asarray(corpus.audio_lengths(), np.int64)
+            self._workers = int(decode_workers) or min(
+                8, max(2, (_os.cpu_count() or 2) - 1))
+            src = _MetaSource(corpus, self._lengths)
+        else:
+            src = _CorpusSource(corpus)
+        ds = grain.MapDataset.source(src)
         if num_shards > 1:
             ds = ds[shard_index::num_shards]
         # SortaGrad (Deep Speech 2 curriculum): the first pass over the data
@@ -107,13 +146,15 @@ class GrainBucketedIterator:
                 shard_idx = shard_idx[shard_index::num_shards]
             lens = _corpus_lengths(corpus)[shard_idx]
             order = np.argsort(lens, kind="stable")
-            self._ds0 = grain.MapDataset.source(
-                _CorpusSource(corpus, shard_idx[order]))
+            src0 = (_MetaSource(corpus, self._lengths, shard_idx[order])
+                    if self._lazy else _CorpusSource(corpus, shard_idx[order]))
+            self._ds0 = grain.MapDataset.source(src0)
             self._iter0 = iter(self._ds0.to_iter_dataset())
         ds = ds.shuffle(seed=seed).repeat()
         self._iter = iter(ds.to_iter_dataset())
-        # buffers hold (base_idx, audio, tokens); only base_idx checkpoints.
-        self._buffers: list[list[tuple[int, np.ndarray, np.ndarray]]] = [
+        # buffers hold (base_idx, audio-or-None, tokens); only base_idx
+        # checkpoints (lazy mode buffers no audio at all).
+        self._buffers: list[list[tuple[int, np.ndarray | None, np.ndarray]]] = [
             [] for _ in self.buckets
         ]
         # ---------------------------------------------------- prefetch state
@@ -145,17 +186,36 @@ class GrainBucketedIterator:
                     continue
             else:
                 ex = next(self._iter)
-            audio = np.asarray(ex["audio"], np.float32)
+            if self._lazy:
+                audio, alen = None, int(ex["alen"])
+            else:
+                audio = np.asarray(ex["audio"], np.float32)
+                alen = len(audio)
             toks = self.tokenizer.encode(str(ex["text"]))
-            bi = assign_bucket(self.buckets, len(audio), len(toks))
+            bi = assign_bucket(self.buckets, alen, len(toks))
             if bi is None:
                 continue
             self._buffers[bi].append((int(ex["idx"]), audio, toks))
             if len(self._buffers[bi]) == self.batch_size:
-                batch = _emit([(a, t) for _, a, t in self._buffers[bi]],
-                              self.buckets[bi], self.batch_size)
-                self._buffers[bi] = []
+                buf, self._buffers[bi] = self._buffers[bi], []
+                batch = _emit(self._decode_buf(buf), self.buckets[bi],
+                              self.batch_size)
                 return batch
+
+    def _decode_buf(self, buf) -> list[tuple[np.ndarray, np.ndarray]]:
+        """(idx, audio-or-None, toks) buffer -> [(audio, toks)], decoding the
+        lazy entries of one batch in parallel on the thread pool."""
+        if not self._lazy:
+            return [(a, t) for _, a, t in buf]
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self._workers, thread_name_prefix="audio-decode")
+        audios = list(self._pool.map(
+            lambda i: np.asarray(self._corpus[i][0], np.float32),
+            [i for i, _, _ in buf]))
+        return [(a, t) for a, (_, _, t) in zip(audios, buf)]
 
     def __next__(self) -> dict[str, np.ndarray]:
         if self.prefetch <= 0:
@@ -212,6 +272,9 @@ class GrainBucketedIterator:
         """Stop the prefetch thread (idempotent).  Iterators are otherwise
         closed on GC; call this for deterministic teardown (tests, workers)."""
         self._stop_thread()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
     def __del__(self):  # noqa: D105
         try:
@@ -259,9 +322,13 @@ class GrainBucketedIterator:
         for buf in state["buffers"]:
             items = []
             for idx in buf:
-                audio, text = self._corpus[int(idx)]
-                items.append((int(idx), np.asarray(audio, np.float32),
-                              self.tokenizer.encode(str(text))))
+                if self._lazy:
+                    items.append((int(idx), None, self.tokenizer.encode(
+                        str(self._corpus.transcript(int(idx))))))
+                else:
+                    audio, text = self._corpus[int(idx)]
+                    items.append((int(idx), np.asarray(audio, np.float32),
+                                  self.tokenizer.encode(str(text))))
             self._buffers.append(items)
         if self.prefetch > 0:
             self._start_thread()

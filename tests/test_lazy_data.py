@@ -312,3 +312,31 @@ def test_bucketed_dataset_lazy_no_decode_at_construction(ls_root, monkeypatch):
     b2 = next(it2)
     assert len(calls) <= 4
     assert b2["audio_len"].max() <= b["audio"].shape[1]
+
+
+def test_grain_lazy_decodes_batches_on_pool(ls_root, monkeypatch):
+    """Lazy-metadata mode (round 4): the example stream carries header
+    lengths only; audio decodes once per emitted batch, fanned over the
+    decode thread pool -- never serially inside the stream."""
+    import threading
+
+    root, _ = ls_root
+    corpus = load_corpus(root, "train-960")
+    corpus.audio_lengths()                   # pre-probe headers
+    calls = []
+    real = ls.load_audio
+
+    def counting(p):
+        calls.append(threading.current_thread().name)
+        return real(p)
+
+    monkeypatch.setattr(ls, "load_audio", counting)
+    it = GrainBucketedIterator(
+        corpus, batch_size=4, bucket_audio_lens=(3 * SR,),
+        bucket_label_lens=(32,), seed=0, prefetch=0, decode_workers=4)
+    assert calls == []                       # construction: headers only
+    b = next(it)
+    assert b["audio"].shape == (4, 3 * SR)
+    assert len(calls) == 4                   # exactly one batch of decodes
+    assert all(n.startswith("audio-decode") for n in calls), calls
+    it.close()
