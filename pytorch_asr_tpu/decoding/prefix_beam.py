@@ -512,15 +512,34 @@ def prefix_beam_search(
                   and not ext_top_a and not lm_top_k
                   and lm_table.shape[0] <= 4096
                   and lm_table.shape[0] * V * 4 <= 8 * 1024 * 1024)
+    # Restricted-candidate search without LM sources: the top-A lane kernel
+    # (round 4) runs the identical search (bit-equal scores on v5e) at 1.9x
+    # the restricted scan / 4x the full scan (40.5 vs 77.3 / 163.9 us/frame
+    # at B=16 K=16 V=1024 A=128) -- the production no-LM BPE decode path.
+    topa_only = (ext_top_a > 0 and lm_table is None and rnn_lm is None
+                 and hash_lm is None and not lm_top_k)
     if use_fused is None:
         # Auto: the lane-parallel fused kernel (ops/beam_pallas.py,
         # prefix_beam_fused_lanes) wins 3.5x over this scan on v5e at the
         # production decode shape (30 vs 106 us/frame, B=16 K=16 V=32,
         # round 4), and 2.6x with dense-table fusion.  Gated to no-LM or
         # dense-table searches on a real TPU at sizes the kernel layout was
-        # validated at (K*V candidate lanes <= 2048).
-        use_fused = ((no_lm or dense_only) and jax.default_backend() == "tpu"
-                     and V * beam_size <= 2048)
+        # validated at (candidate lanes <= 2048).
+        lanes = beam_size * (ext_top_a if topa_only else V)
+        use_fused = ((no_lm or dense_only or topa_only)
+                     and jax.default_backend() == "tpu" and lanes <= 2048)
+    if use_fused and topa_only:
+        from jax.sharding import PartitionSpec as P
+
+        from pytorch_asr_tpu.ops.beam_pallas import (
+            prefix_beam_fused_lanes_topa)
+        from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
+
+        fn = lambda lg, ln: prefix_beam_fused_lanes_topa(  # noqa: E731
+            lg, ln, beam_size, blank, max_len, ext_top_a)
+        fn = maybe_data_shard_map(fn, in_specs=(P("data"), P("data")),
+                                  out_specs=(P("data"),) * 3)
+        return fn(logits, logit_len)
     if use_fused and (no_lm or dense_only):
         from jax.sharding import PartitionSpec as P
 

@@ -45,6 +45,18 @@ TWO kernels live here:
     the complete LM-fused search with zero HBM round-trips per frame.
     Measured 2.6x the scan-dense path on v5e (42 vs 111 us/frame at B=16
     K=16 V=32 n_ctx=1024), token bit-parity on hardware.
+
+    MEASURED BOUND of the flat-lane layout (round 4): at BPE scale the
+    full-vocab lane array stops fitting the machine -- K*V = 16384 lanes at
+    V=1024 measured 279 us/frame no-LM (vs the scan's ~105) with a 278 s
+    Mosaic compile: the K top-K rounds and the K-wide absorb loop each scan
+    ALL lanes, so per-frame work grows ~linearly in K*V while the VPU is
+    already saturated past ~2048 lanes.  The use_fused auto gate therefore
+    stays at K*V <= 2048.  The large-vocab answer is the RESTRICTED lane
+    kernel below (``prefix_beam_fused_lanes_topa``): candidate lanes = the
+    frame's top-A acoustic chars (K*A lanes; the exact same search as the
+    scan's ``ext_top_a`` restricted-candidate mode), which puts BPE vocabs
+    back in the lane regime where the layout wins.
 """
 
 from __future__ import annotations
@@ -591,6 +603,218 @@ def prefix_beam_fused_lanes(logits, logit_len, beam_size: int = 16,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=pallas_interpret(),
     )(logp_tbv, logit_len.astype(jnp.int32)[:, None], tab)
+    best = jnp.argmax(scores, axis=1)                          # (B,)
+    tokens = _backtrace(parents, appends, best, L)
+    final_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    final_sc = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return tokens, final_len, final_sc
+
+
+# ---------------------------------------------------------------------------
+# Restricted-candidate lane kernel (round 4): ext candidates = the frame's
+# top-A acoustic chars.  Same search as decoding/prefix_beam.py ext_top_a
+# (_build_candidates_topa + sparse merge); parity-tested against it.
+# ---------------------------------------------------------------------------
+
+
+def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref,
+                            par_out, app_out, score_out, len_out,
+                            pb_sc, pnb_sc, hash_sc, last_sc, length_sc,
+                            *, tc: int, K: int, A: int, V: int, L: int,
+                            blank: int):
+    ic = pl.program_id(0)
+    B = len_ref.shape[0]
+    KA = K * A
+    kf = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    par_flat = jnp.concatenate(
+        [jnp.full((B, A), k, jnp.int32) for k in range(K)], axis=1)
+    flat_idx = jax.lax.broadcasted_iota(jnp.int32, (B, KA), 1)  # k*A + a
+
+    @pl.when(ic == 0)
+    def _():
+        pb_sc[:] = jnp.where(kf == 0, 0.0, NEG_INF)
+        pnb_sc[:] = jnp.full((B, K), NEG_INF)
+        hash_sc[:] = -(kf + 1)
+        last_sc[:] = jnp.full((B, K), -1, jnp.int32)
+        length_sc[:] = jnp.zeros((B, K), jnp.int32)
+
+    lens = len_ref[:]                                          # (B, 1)
+
+    for j in range(tc):
+        t = ic * tc + j
+        logp_t = logp_ref[j]                                   # (B, V)
+        top_val = tv_ref[j]                                    # (B, A)
+        top_idx = ti_ref[j]                                    # (B, A) i32
+        c_flat = jnp.concatenate([top_idx] * K, axis=1)        # (B, KA)
+        lp_flat = jnp.concatenate([top_val] * K, axis=1)
+        pb, pnb = pb_sc[:], pnb_sc[:]
+        hsh, last, length = hash_sc[:], last_sc[:], length_sc[:]
+        total = jnp.logaddexp(pb, pnb)
+
+        # ---- stay candidates (B, K): full-vocab gathers (last may lie
+        # outside this frame's top-A set) --------------------------------
+        lp_blank = logp_t[:, blank][:, None]
+        lp_last = jnp.concatenate(
+            [jnp.sum(jnp.where(iota_v == last[:, k:k + 1], logp_t, 0.0),
+                     axis=1)[:, None] for k in range(K)], axis=1)
+        stay_pb = total + lp_blank
+        stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
+
+        # ---- restricted extension candidates (B, K*A) ------------------
+        is_rep = c_flat == _expand_beam_field(last, K, A)
+        base = jnp.where(is_rep, _expand_beam_field(pb, K, A),
+                         _expand_beam_field(total, K, A))
+        len_f = _expand_beam_field(length, K, A)
+        ext_pnb = base + lp_flat
+        ext_pnb = jnp.where(len_f >= L, NEG_INF, ext_pnb)
+        ext_pnb = jnp.where(c_flat == blank, NEG_INF, ext_pnb)
+        ext_hash = _expand_beam_field(hsh, K, A) * HASH_MULT + c_flat
+
+        # ---- hash absorption (direct equality == the sparse merge) -----
+        alive = jnp.logaddexp(stay_pb, stay_pnb) > NEG_INF / 2
+        abs_m = c_flat < 0                                     # all-False
+        add_cols = []
+        for k2 in range(K):
+            m = ((ext_hash == hsh[:, k2:k2 + 1]) & (c_flat >= 1)
+                 & (c_flat != blank) & alive[:, k2:k2 + 1])
+            vals = jnp.where(m, ext_pnb, NEG_INF)
+            mx = jnp.max(vals, axis=1)
+            s = jnp.sum(jnp.exp(vals - mx[:, None]), axis=1)
+            add_cols.append(jnp.where(mx > NEG_INF / 2, mx + jnp.log(s),
+                                      NEG_INF)[:, None])
+            abs_m = abs_m | m
+        add = jnp.concatenate(add_cols, axis=1)
+        stay_pnb_m = jnp.logaddexp(stay_pnb, add)
+
+        stay_score = jnp.logaddexp(stay_pb, stay_pnb_m)
+        ext_score = jnp.where(abs_m, NEG_INF, ext_pnb)
+
+        # ---- top-K: K rounds of paired argmax --------------------------
+        work_s, work_e = stay_score, ext_score
+        sp, sa, ss, spb, spnb, sh, sl, sn = ([] for _ in range(8))
+        for _ in range(K):
+            bs = jnp.max(work_s, axis=1)
+            be = jnp.max(work_e, axis=1)
+            is_stay = bs >= be                                 # stays win ties
+            s_idx = jnp.min(jnp.where(work_s == bs[:, None], kf, K), axis=1)
+            e_idx = jnp.min(jnp.where(work_e == be[:, None], flat_idx, KA),
+                            axis=1)
+            m_s = kf == s_idx[:, None]
+            m_e = flat_idx == e_idx[:, None]
+
+            def exs_f(x, m_s=m_s):
+                return jnp.max(jnp.where(m_s, x, NEG_INF), axis=1)
+
+            def exs_i(x, m_s=m_s):
+                return jnp.min(jnp.where(m_s, x, _I32_BIG), axis=1)
+
+            def exe_f(x, m_e=m_e):
+                return jnp.max(jnp.where(m_e, x, NEG_INF), axis=1)
+
+            def exe_i(x, m_e=m_e):
+                return jnp.min(jnp.where(m_e, x, _I32_BIG), axis=1)
+
+            app_r = jnp.where(is_stay, -1, exe_i(c_flat))
+            sp.append(jnp.where(is_stay, s_idx, exe_i(par_flat))[:, None])
+            sa.append(app_r[:, None])
+            ss.append(jnp.maximum(bs, be)[:, None])
+            spb.append(jnp.where(is_stay, exs_f(stay_pb), NEG_INF)[:, None])
+            spnb.append(jnp.where(is_stay, exs_f(stay_pnb_m),
+                                  exe_f(ext_pnb))[:, None])
+            sh.append(jnp.where(is_stay, exs_i(hsh),
+                                exe_i(ext_hash))[:, None])
+            sl.append(jnp.where(is_stay, exs_i(last), app_r)[:, None])
+            sn.append(jnp.where(is_stay, exs_i(length),
+                                exe_i(len_f) + 1)[:, None])
+            work_s = jnp.where(m_s & is_stay[:, None], NEG_INF, work_s)
+            work_e = jnp.where(m_e & (~is_stay)[:, None], NEG_INF, work_e)
+
+        parent = jnp.concatenate(sp, axis=1)
+        append = jnp.concatenate(sa, axis=1)
+        top_score = jnp.concatenate(ss, axis=1)
+        dead = top_score <= NEG_INF / 2
+        new_pb = jnp.where(dead, NEG_INF, jnp.concatenate(spb, axis=1))
+        new_pnb = jnp.where(dead, NEG_INF, jnp.concatenate(spnb, axis=1))
+        new_hash = jnp.where(dead, -(kf + 1), jnp.concatenate(sh, axis=1))
+        new_last = jnp.concatenate(sl, axis=1)
+        new_len = jnp.concatenate(sn, axis=1)
+
+        # ---- freeze rows past their length; record backpointers --------
+        act = t < lens
+        pb_sc[:] = jnp.where(act, new_pb, pb)
+        pnb_sc[:] = jnp.where(act, new_pnb, pnb)
+        hash_sc[:] = jnp.where(act, new_hash, hsh)
+        last_sc[:] = jnp.where(act, new_last, last)
+        length_sc[:] = jnp.where(act, new_len, length)
+        par_out[j] = jnp.where(act, parent, kf)
+        app_out[j] = jnp.where(act, append, -1)
+
+    score_out[:] = jnp.logaddexp(pb_sc[:], pnb_sc[:])
+    len_out[:] = length_sc[:]
+
+
+def prefix_beam_fused_lanes_topa(logits, logit_len, beam_size: int = 16,
+                                 blank: int = 0, max_len: int = 256,
+                                 top_a: int = 128):
+    """Restricted-candidate lane kernel for large vocabs (no LM fusion).
+
+    The exact search of decoding.prefix_beam.prefix_beam_search(
+    ext_top_a=top_a, use_fused=False): per frame, extension candidates are
+    the frame's top-A acoustic chars (lax.top_k OUTSIDE the kernel, streamed
+    in as (tc, B, A) value/index chunks alongside the full logp rows the
+    stay path gathers from).  K*A candidate lanes keep BPE vocabs inside
+    the <= 2048-lane regime where the flat layout wins.
+
+    Returns (tokens (B, L), lengths (B,), scores (B,)).
+    """
+    B, T, V = logits.shape
+    K, L, A = beam_size, max_len, int(top_a)
+    if A >= V:
+        raise ValueError(f"top_a {A} must be < vocab {V}")
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tc = TIME_CHUNK
+    t_pad = _round_up(T, tc)
+    n_chunks = t_pad // tc
+    logp_p = jnp.pad(logp, ((0, 0), (0, t_pad - T), (0, 0)))
+    top_val, top_idx = jax.lax.top_k(logp_p, A)              # (B, Tp, A)
+    logp_tbv = jnp.swapaxes(logp_p, 0, 1)
+    tv_tba = jnp.swapaxes(top_val, 0, 1)
+    ti_tba = jnp.swapaxes(top_idx, 0, 1).astype(jnp.int32)
+    kern = functools.partial(_beam_kernel_lanes_topa, tc=tc, K=K, A=A, V=V,
+                             L=L, blank=blank)
+    parents, appends, scores, lengths = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((tc, B, V), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tc, B, A), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tc, B, A), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # logit_len (B, 1)
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, B, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tc, B, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, K), lambda i: (0, 0)),
+            pl.BlockSpec((B, K), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, B, K), jnp.int32),   # parents
+            jax.ShapeDtypeStruct((t_pad, B, K), jnp.int32),   # appends
+            jax.ShapeDtypeStruct((B, K), jnp.float32),        # final scores
+            jax.ShapeDtypeStruct((B, K), jnp.int32),          # final lengths
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, K), jnp.float32),              # pb
+            pltpu.VMEM((B, K), jnp.float32),              # pnb
+            pltpu.VMEM((B, K), jnp.int32),                # rolling hash
+            pltpu.VMEM((B, K), jnp.int32),                # last char
+            pltpu.VMEM((B, K), jnp.int32),                # lengths
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(logp_tbv, tv_tba, ti_tba, logit_len.astype(jnp.int32)[:, None])
     best = jnp.argmax(scores, axis=1)                          # (B,)
     tokens = _backtrace(parents, appends, best, L)
     final_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]

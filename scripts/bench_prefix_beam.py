@@ -119,9 +119,10 @@ def main() -> None:
         measure("fused beam", lambda: prefix_beam_fused(
             logits, lens, beam_size=K))
 
-    if kv.get("lanes", "1") == "1":
+    if kv.get("lanes", "1") == "1" and V * K <= 2048:
         # lane-parallel fused kernel (round 4): flat (B, K*V) candidate
-        # lanes + backpointer outputs (see ops/beam_pallas.py)
+        # lanes + backpointer outputs (see ops/beam_pallas.py); V*K gate:
+        # the full-vocab layout is measured-refuted past ~2048 lanes
         from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused_lanes
 
         measure("lanes beam", lambda: jax.jit(
@@ -136,6 +137,16 @@ def main() -> None:
         measure("lanes+dense", lambda: jax.jit(
             prefix_beam_fused_lanes, static_argnums=(2, 3, 4, 6, 7))(
             logits, lens, K, 0, 256, table_l, 0.5, 1.0))
+    elif kv.get("lanes", "1") == "1" and V >= 256:
+        # BPE-scale: the full-vocab lane layout is refuted (279 us/frame at
+        # K*V=16384, see ops/beam_pallas.py); the restricted-candidate lane
+        # kernel is the fused path (bit-equal to the ext_top_a scan).
+        from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused_lanes_topa
+
+        A = int(kv.get("lm_top_k", 128))
+        measure(f"lanes topA={A}", lambda: jax.jit(
+            prefix_beam_fused_lanes_topa, static_argnums=(2, 3, 4, 5))(
+            logits, lens, K, 0, 256, A))
 
     # ---- merge+topk alone (scan over the same candidate work) --------------
     state = pb._init_state(B, K, 256)

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
 from pytorch_asr_tpu.ops import runtime
 from pytorch_asr_tpu.ops.beam_pallas import (prefix_beam_fused,
-                                             prefix_beam_fused_lanes)
+                                             prefix_beam_fused_lanes,
+                                             prefix_beam_fused_lanes_topa)
 
 
 @pytest.fixture(autouse=True)
@@ -53,6 +54,28 @@ def test_lanes_beam_matches_xla_beam(seed):
     logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
     lens = jnp.asarray([T, T - 5], np.int32)
     _compare(logits, lens, K, L, fused=prefix_beam_fused_lanes)
+
+
+@pytest.mark.parametrize("seed,A", [(0, 8), (1, 16), (5, 8)])
+def test_lanes_topa_matches_restricted_scan(seed, A):
+    """Restricted-candidate lane kernel vs the scan's ext_top_a search:
+    identical search (shared per-row top-A ext candidates, sparse
+    hash-equality absorption), token + length equality and score parity."""
+    rng = np.random.default_rng(seed)
+    B, T, V, K, L = 3, 20, 64, 8, 24
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 6, T // 2], np.int32)
+    tk, lk, sk = prefix_beam_fused_lanes_topa(logits, lens, beam_size=K,
+                                              max_len=L, top_a=A)
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    ext_top_a=A, use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-5,
+                               atol=1e-5)
 
 
 @pytest.mark.parametrize("seed,n_ctx_pow", [(0, 2), (1, 1), (4, 2)])

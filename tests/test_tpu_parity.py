@@ -255,6 +255,32 @@ def test_lanes_beam_parity_on_tpu():
                                rtol=1e-4, atol=1e-3)
 
 
+def test_lanes_topa_parity_on_tpu():
+    """Restricted-candidate (top-A) lane kernel vs the scan's ext_top_a
+    search ON HARDWARE at a BPE-scale vocab: pins the streamed top-A
+    value/index chunks and data-driven candidate lanes in the Mosaic
+    compile (bit-equal scores measured on v5e, round 4)."""
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+    from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused_lanes_topa
+
+    rng = np.random.default_rng(13)
+    B, T, V, K, L, A = 4, 48, 256, 16, 40, 32
+    logits = jnp.asarray(rng.standard_normal((B, T, V)), jnp.float32)
+    lens = jnp.asarray([T, T - 7, T // 2, T - 1], np.int32)
+    tk, lk, sk = jax.jit(
+        prefix_beam_fused_lanes_topa, static_argnums=(2, 3, 4, 5))(
+        logits, lens, K, 0, L, A)
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    ext_top_a=A, use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_lanes_beam_dense_lm_parity_on_tpu():
     """In-kernel dense-LM fusion vs the scan-dense path ON HARDWARE: pins
     the one-hot MXU row gathers, lax.rem context roll, and fused-score
