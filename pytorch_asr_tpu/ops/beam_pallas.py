@@ -335,6 +335,61 @@ def _expand_beam_field(x, K: int, V: int):
         [jnp.broadcast_to(x[:, k:k + 1], (B, V)) for k in range(K)], axis=1)
 
 
+def _paired_topk_select(K, kf, flat_idx, stay_score, ext_score, c_flat,
+                        par_flat, fields):
+    """K rounds of paired argmax over stays (B, K) + flat ext lanes (B, N).
+
+    Shared by the lane kernels.  Stays win ties (they precede exts in the
+    canonical flat order, reproducing lax.top_k tie-breaking of the XLA
+    merge); among exts the lowest flat index wins.  Selected rows' fields
+    are extracted at selection time by masked lane reductions.
+
+    ``fields``: list of (stay_arr (B, K), ext_arr (B, N) | None, kind)
+    where kind is 'f' (float, NEG_INF fill) or 'i' (int32, big fill); an
+    ext_arr of None selects NEG_INF for ext picks (e.g. pb).
+
+    Returns (parent, append, top_score, selected) with every output
+    (B, K) and ``selected`` ordered like ``fields``.
+    """
+    N = ext_score.shape[1]
+    work_s, work_e = stay_score, ext_score
+    sp, sa, ss = [], [], []
+    sel = [[] for _ in fields]
+    for _ in range(K):
+        bs = jnp.max(work_s, axis=1)
+        be = jnp.max(work_e, axis=1)
+        is_stay = bs >= be                                 # stays win ties
+        s_idx = jnp.min(jnp.where(work_s == bs[:, None], kf, K), axis=1)
+        e_idx = jnp.min(jnp.where(work_e == be[:, None], flat_idx, N),
+                        axis=1)
+        m_s = kf == s_idx[:, None]                         # (B, K)
+        m_e = flat_idx == e_idx[:, None]                   # (B, N)
+
+        def exs(x, kind, m_s=m_s):
+            if kind == "f":
+                return jnp.max(jnp.where(m_s, x, NEG_INF), axis=1)
+            return jnp.min(jnp.where(m_s, x, _I32_BIG), axis=1)
+
+        def exe(x, kind, m_e=m_e):
+            if kind == "f":
+                return jnp.max(jnp.where(m_e, x, NEG_INF), axis=1)
+            return jnp.min(jnp.where(m_e, x, _I32_BIG), axis=1)
+
+        app_r = jnp.where(is_stay, -1, exe(c_flat, "i"))
+        sp.append(jnp.where(is_stay, s_idx, exe(par_flat, "i"))[:, None])
+        sa.append(app_r[:, None])
+        ss.append(jnp.maximum(bs, be)[:, None])
+        for out, (st, ex, kind) in zip(sel, fields):
+            e_val = (jnp.full_like(bs, NEG_INF) if ex is None
+                     else exe(ex, kind))
+            out.append(jnp.where(is_stay, exs(st, kind), e_val)[:, None])
+        work_s = jnp.where(m_s & is_stay[:, None], NEG_INF, work_s)
+        work_e = jnp.where(m_e & (~is_stay)[:, None], NEG_INF, work_e)
+    return (jnp.concatenate(sp, axis=1), jnp.concatenate(sa, axis=1),
+            jnp.concatenate(ss, axis=1),
+            [jnp.concatenate(o, axis=1) for o in sel])
+
+
 def _beam_kernel_lanes(logp_ref, len_ref, lm_ref, par_out, app_out,
                        score_out, len_out,
                        pb_sc, pnb_sc, hash_sc, last_sc, length_sc,
@@ -449,60 +504,18 @@ def _beam_kernel_lanes(logp_ref, len_ref, lm_ref, par_out, app_out,
 
         # ---- top-K: K rounds of paired argmax; fields extracted at
         # selection time by masked lane reductions (no parent gathers) ------
-        work_s, work_e = stay_score, ext_score
-        sp, sa, ss, spb, spnb, sh, sl, sn = ([] for _ in range(8))
-        slm, sctx = [], []
-        for _ in range(K):
-            bs = jnp.max(work_s, axis=1)                        # (B,)
-            be = jnp.max(work_e, axis=1)                        # (B,)
-            is_stay = bs >= be                                  # stays win ties
-            s_idx = jnp.min(jnp.where(work_s == bs[:, None], kf, K), axis=1)
-            e_idx = jnp.min(jnp.where(work_e == be[:, None], flat_idx, KV),
-                            axis=1)
-            m_s = kf == s_idx[:, None]                          # (B, K)
-            m_e = flat_idx == e_idx[:, None]                    # (B, KV)
-
-            def exs_f(x, m_s=m_s):
-                return jnp.max(jnp.where(m_s, x, NEG_INF), axis=1)
-
-            def exs_i(x, m_s=m_s):
-                return jnp.min(jnp.where(m_s, x, _I32_BIG), axis=1)
-
-            def exe_f(x, m_e=m_e):
-                return jnp.max(jnp.where(m_e, x, NEG_INF), axis=1)
-
-            def exe_i(x, m_e=m_e):
-                return jnp.min(jnp.where(m_e, x, _I32_BIG), axis=1)
-
-            app_r = jnp.where(is_stay, -1, exe_i(c_flat))
-            sp.append(jnp.where(is_stay, s_idx, exe_i(par_flat))[:, None])
-            sa.append(app_r[:, None])
-            ss.append(jnp.maximum(bs, be)[:, None])
-            spb.append(jnp.where(is_stay, exs_f(stay_pb), NEG_INF)[:, None])
-            spnb.append(jnp.where(is_stay, exs_f(stay_pnb_m),
-                                  exe_f(ext_pnb))[:, None])
-            sh.append(jnp.where(is_stay, exs_i(hsh),
-                                exe_i(ext_hash))[:, None])
-            sl.append(jnp.where(is_stay, exs_i(last), app_r)[:, None])
-            sn.append(jnp.where(is_stay, exs_i(length),
-                                exe_i(len_f) + 1)[:, None])
-            slm.append(jnp.where(is_stay, exs_f(lms), exe_f(ext_lm))[:, None])
-            sctx.append(jnp.where(is_stay, exs_i(ctx),
-                                  exe_i(ctx_lane))[:, None])
-            work_s = jnp.where(m_s & is_stay[:, None], NEG_INF, work_s)
-            work_e = jnp.where(m_e & (~is_stay)[:, None], NEG_INF, work_e)
-
-        parent = jnp.concatenate(sp, axis=1)                    # (B, K)
-        append = jnp.concatenate(sa, axis=1)
-        top_score = jnp.concatenate(ss, axis=1)
+        parent, append, top_score, picked = _paired_topk_select(
+            K, kf, flat_idx, stay_score, ext_score, c_flat, par_flat,
+            [(stay_pb, None, "f"), (stay_pnb_m, ext_pnb, "f"),
+             (hsh, ext_hash, "i"), (last, c_flat, "i"),
+             (length, len_f + 1, "i"), (lms, ext_lm, "f"),
+             (ctx, ctx_lane, "i")])
+        g_pb, g_pnb, g_hash, new_last, new_len, new_lms, new_ctx = picked
         dead = top_score <= NEG_INF / 2
-        new_pb = jnp.where(dead, NEG_INF, jnp.concatenate(spb, axis=1))
-        new_pnb = jnp.where(dead, NEG_INF, jnp.concatenate(spnb, axis=1))
-        new_hash = jnp.where(dead, -(kf + 1), jnp.concatenate(sh, axis=1))
-        new_last = jnp.concatenate(sl, axis=1)
-        new_len = jnp.concatenate(sn, axis=1)
-        new_lms = jnp.concatenate(slm, axis=1)    # no dead reset (scan parity)
-        new_ctx = jnp.concatenate(sctx, axis=1)
+        new_pb = jnp.where(dead, NEG_INF, g_pb)
+        new_pnb = jnp.where(dead, NEG_INF, g_pnb)
+        new_hash = jnp.where(dead, -(kf + 1), g_hash)
+        # new_lms/new_ctx: no dead reset (scan parity)
 
         # ---- freeze rows past their length; record backpointers ------------
         act = t < lens                                          # (B, 1)
@@ -691,54 +704,16 @@ def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref,
         ext_score = jnp.where(abs_m, NEG_INF, ext_pnb)
 
         # ---- top-K: K rounds of paired argmax --------------------------
-        work_s, work_e = stay_score, ext_score
-        sp, sa, ss, spb, spnb, sh, sl, sn = ([] for _ in range(8))
-        for _ in range(K):
-            bs = jnp.max(work_s, axis=1)
-            be = jnp.max(work_e, axis=1)
-            is_stay = bs >= be                                 # stays win ties
-            s_idx = jnp.min(jnp.where(work_s == bs[:, None], kf, K), axis=1)
-            e_idx = jnp.min(jnp.where(work_e == be[:, None], flat_idx, KA),
-                            axis=1)
-            m_s = kf == s_idx[:, None]
-            m_e = flat_idx == e_idx[:, None]
-
-            def exs_f(x, m_s=m_s):
-                return jnp.max(jnp.where(m_s, x, NEG_INF), axis=1)
-
-            def exs_i(x, m_s=m_s):
-                return jnp.min(jnp.where(m_s, x, _I32_BIG), axis=1)
-
-            def exe_f(x, m_e=m_e):
-                return jnp.max(jnp.where(m_e, x, NEG_INF), axis=1)
-
-            def exe_i(x, m_e=m_e):
-                return jnp.min(jnp.where(m_e, x, _I32_BIG), axis=1)
-
-            app_r = jnp.where(is_stay, -1, exe_i(c_flat))
-            sp.append(jnp.where(is_stay, s_idx, exe_i(par_flat))[:, None])
-            sa.append(app_r[:, None])
-            ss.append(jnp.maximum(bs, be)[:, None])
-            spb.append(jnp.where(is_stay, exs_f(stay_pb), NEG_INF)[:, None])
-            spnb.append(jnp.where(is_stay, exs_f(stay_pnb_m),
-                                  exe_f(ext_pnb))[:, None])
-            sh.append(jnp.where(is_stay, exs_i(hsh),
-                                exe_i(ext_hash))[:, None])
-            sl.append(jnp.where(is_stay, exs_i(last), app_r)[:, None])
-            sn.append(jnp.where(is_stay, exs_i(length),
-                                exe_i(len_f) + 1)[:, None])
-            work_s = jnp.where(m_s & is_stay[:, None], NEG_INF, work_s)
-            work_e = jnp.where(m_e & (~is_stay)[:, None], NEG_INF, work_e)
-
-        parent = jnp.concatenate(sp, axis=1)
-        append = jnp.concatenate(sa, axis=1)
-        top_score = jnp.concatenate(ss, axis=1)
+        parent, append, top_score, picked = _paired_topk_select(
+            K, kf, flat_idx, stay_score, ext_score, c_flat, par_flat,
+            [(stay_pb, None, "f"), (stay_pnb_m, ext_pnb, "f"),
+             (hsh, ext_hash, "i"), (last, c_flat, "i"),
+             (length, len_f + 1, "i")])
+        g_pb, g_pnb, g_hash, new_last, new_len = picked
         dead = top_score <= NEG_INF / 2
-        new_pb = jnp.where(dead, NEG_INF, jnp.concatenate(spb, axis=1))
-        new_pnb = jnp.where(dead, NEG_INF, jnp.concatenate(spnb, axis=1))
-        new_hash = jnp.where(dead, -(kf + 1), jnp.concatenate(sh, axis=1))
-        new_last = jnp.concatenate(sl, axis=1)
-        new_len = jnp.concatenate(sn, axis=1)
+        new_pb = jnp.where(dead, NEG_INF, g_pb)
+        new_pnb = jnp.where(dead, NEG_INF, g_pnb)
+        new_hash = jnp.where(dead, -(kf + 1), g_hash)
 
         # ---- freeze rows past their length; record backpointers --------
         act = t < lens
