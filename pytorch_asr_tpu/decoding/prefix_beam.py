@@ -526,8 +526,18 @@ def prefix_beam_search(
         # dense-table searches on a real TPU at sizes the kernel layout was
         # validated at (candidate lanes <= 2048).
         lanes = beam_size * (ext_top_a if topa_only else V)
+        # Mosaic compile time grows steeply with the PER-SHARD batch (v5e,
+        # K=16 V=32: ~24 s at B=16, ~124 s at B=32, ~172 s at B=64, while
+        # per-utterance runtime stays flat) -- auto only takes the kernel at
+        # the validated batch; force use_fused=True to accept the one-time
+        # compile at larger batches.
+        from pytorch_asr_tpu.parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        local_b = B // mesh.shape["data"] if mesh is not None else B
         use_fused = ((no_lm or dense_only or topa_only)
-                     and jax.default_backend() == "tpu" and lanes <= 2048)
+                     and jax.default_backend() == "tpu" and lanes <= 2048
+                     and local_b <= 16)
     if use_fused and topa_only:
         from jax.sharding import PartitionSpec as P
 
