@@ -278,7 +278,9 @@ def run_tpu_parity() -> int | None:
                     elif report.failed:
                         _Count.failed += 1
 
-        rc = pytest.main(["tests/test_tpu_parity.py", "-q", "--no-header",
+        suite = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "test_tpu_parity.py")
+        rc = pytest.main([suite, "-q", "--no-header",
                           "-p", "no:cacheprovider"], plugins=[_Count()])
         if rc != 0 or _Count.failed:
             return -_Count.failed or -1          # negative = failures

@@ -278,7 +278,7 @@ class GrainBucketedIterator:
 
     def __del__(self):  # noqa: D105
         try:
-            self._stop_thread()
+            self.close()   # prefetch thread AND the decode pool (non-daemon)
         except Exception:
             pass
 

@@ -59,6 +59,48 @@ def _init_state(B: int, K: int, L: int, ctx_width: int = 0) -> BeamState:
     )
 
 
+def _stay_candidates(state: BeamState, logp_t, blank: int, K: int,
+                     parent_offset: int = 0):
+    """(total, stay dict): each beam continued without appending.  Shared by
+    the full-vocab and restricted-candidate builders."""
+    total = _lse(state.pb, state.pnb)                      # (B, K)
+    lp_blank = logp_t[:, None, blank]                      # (B, 1)
+    lp_last = jnp.take_along_axis(
+        logp_t[:, None, :].repeat(K, 1), jnp.maximum(state.last, 0)[..., None],
+        axis=2)[..., 0]                                    # (B, K)
+    stay_pb = total + lp_blank
+    stay_pnb = jnp.where(state.last >= 0, state.pnb + lp_last, NEG_INF)
+    B = logp_t.shape[0]
+    pid = jnp.arange(K, dtype=jnp.int32) + parent_offset
+    stay = {
+        "pb": stay_pb, "pnb": stay_pnb, "lm": state.lm_s, "hash": state.hash,
+        "ctx": state.ctx, "last": state.last,
+        "parent": jnp.broadcast_to(pid[None, :], (B, K)),
+        "append": jnp.full((B, K), -1, jnp.int32),
+    }
+    return total, stay
+
+
+def _ext_ctx(state: BeamState, chars_bc, vocab: int, lm_table,
+             ctx_window: bool):
+    """Per-extension LM context: window shift (hashed fusion), dense roll
+    (table fusion), or carried unchanged.  ``chars_bc`` is the (B, K, N)
+    append-char array.  Shared by both candidate builders."""
+    B, K, N = chars_bc.shape
+    if ctx_window:
+        # hashed-LM mode: the context is a token window (B, K, C); each
+        # extension shifts in its char -> (B, K, N, C).
+        C = state.ctx.shape[-1]
+        base_ctx = jnp.broadcast_to(state.ctx[:, :, None, 1:],
+                                    (B, K, N, C - 1)) if C > 1 else \
+            jnp.zeros((B, K, N, 0), jnp.int32)
+        return jnp.concatenate([base_ctx, chars_bc[..., None]], axis=-1)
+    if lm_table is not None:
+        n_ctx = lm_table.shape[0]
+        return (state.ctx[..., None] * vocab + chars_bc) % n_ctx
+    return jnp.broadcast_to(state.ctx[..., None], (B, K, N))
+
+
 def _build_candidates(state: BeamState, logp_t, *, blank, vocab, lm_table,
                       lm_alpha, lm_beta, K, L, parent_offset: int = 0,
                       lm_rows=None, ctx_window: bool = False):
@@ -75,19 +117,11 @@ def _build_candidates(state: BeamState, logp_t, *, blank, vocab, lm_table,
     """
     B = logp_t.shape[0]
     nb = vocab - 1                                         # non-blank count
-    total = _lse(state.pb, state.pnb)                      # (B, K)
-
-    lp_blank = logp_t[:, None, blank]                      # (B, 1)
-    lp_last = jnp.take_along_axis(
-        logp_t[:, None, :].repeat(K, 1), jnp.maximum(state.last, 0)[..., None],
-        axis=2)[..., 0]                                    # (B, K)
-
-    # --- stay candidates (same prefix) -------------------------------------
-    stay_pb = total + lp_blank
-    stay_pnb = jnp.where(state.last >= 0, state.pnb + lp_last, NEG_INF)
+    total, stay = _stay_candidates(state, logp_t, blank, K, parent_offset)
 
     # --- extension candidates (B, K, nb) -----------------------------------
     chars = jnp.arange(1, vocab, dtype=jnp.int32)          # non-blank ids
+    chars_bc = jnp.broadcast_to(chars[None, None, :], (B, K, nb))
     lp_c = logp_t[:, None, 1:]                             # (B, 1, nb)
     is_repeat = chars[None, None, :] == state.last[..., None]
     base = jnp.where(is_repeat, state.pb[..., None], total[..., None])
@@ -97,41 +131,23 @@ def _build_candidates(state: BeamState, logp_t, *, blank, vocab, lm_table,
     if lm_rows is not None:
         lm_add = lm_alpha * lm_rows[..., 1:] + lm_beta
         ext_lm = state.lm_s[..., None] + lm_add
-        if ctx_window:
-            # hashed-LM mode: the context is a token window (B, K, C); each
-            # extension shifts in its char -> (B, K, nb, C).
-            C = state.ctx.shape[-1]
-            base_ctx = jnp.broadcast_to(state.ctx[:, :, None, 1:],
-                                        (B, K, nb, C - 1)) if C > 1 else \
-                jnp.zeros((B, K, nb, 0), jnp.int32)
-            ext_ctx = jnp.concatenate(
-                [base_ctx, jnp.broadcast_to(chars[None, None, :, None],
-                                            (B, K, nb, 1))], axis=-1)
-        else:
-            ext_ctx = jnp.broadcast_to(state.ctx[..., None], ext_pnb.shape)
+        ext_ctx = _ext_ctx(state, chars_bc, vocab, None, ctx_window)
     elif lm_table is not None:
         lm_row = lm_table[state.ctx]                       # (B, K, V)
         lm_add = lm_alpha * lm_row[..., 1:] + lm_beta
         ext_lm = state.lm_s[..., None] + lm_add
-        n_ctx = lm_table.shape[0]
-        ext_ctx = (state.ctx[..., None] * vocab + chars[None, None, :]) % n_ctx
+        ext_ctx = _ext_ctx(state, chars_bc, vocab, lm_table, False)
     else:
         ext_lm = jnp.broadcast_to(state.lm_s[..., None], ext_pnb.shape)
-        ext_ctx = jnp.broadcast_to(state.ctx[..., None], ext_pnb.shape)
+        ext_ctx = _ext_ctx(state, chars_bc, vocab, None, False)
     ext_hash = state.hash[..., None] * HASH_MULT + chars[None, None, :]
 
-    pid = jnp.arange(K, dtype=jnp.int32) + parent_offset
-    chars_bc = jnp.broadcast_to(chars[None, None, :], (B, K, nb))
-    stay = {
-        "pb": stay_pb, "pnb": stay_pnb, "lm": state.lm_s, "hash": state.hash,
-        "ctx": state.ctx, "last": state.last,
-        "parent": jnp.broadcast_to(pid[None, :], (B, K)),
-        "append": jnp.full((B, K), -1, jnp.int32),
-    }
     ext = {
         "pnb": ext_pnb, "lm": ext_lm, "hash": ext_hash, "ctx": ext_ctx,
         "last": chars_bc,
-        "parent": jnp.broadcast_to(pid[None, :, None], (B, K, nb)),
+        "parent": jnp.broadcast_to(
+            (jnp.arange(K, dtype=jnp.int32) + parent_offset)[None, :, None],
+            (B, K, nb)),
         "append": chars_bc,
     }
     return stay, ext
@@ -156,14 +172,7 @@ def _build_candidates_topa(state: BeamState, logp_t, *, blank, vocab,
     merge with ``_merge_topk(..., sparse=True)``.
     """
     B = logp_t.shape[0]
-    total = _lse(state.pb, state.pnb)                      # (B, K)
-
-    lp_blank = logp_t[:, None, blank]
-    lp_last = jnp.take_along_axis(
-        logp_t[:, None, :].repeat(K, 1), jnp.maximum(state.last, 0)[..., None],
-        axis=2)[..., 0]
-    stay_pb = total + lp_blank
-    stay_pnb = jnp.where(state.last >= 0, state.pnb + lp_last, NEG_INF)
+    total, stay = _stay_candidates(state, logp_t, blank, K)
 
     lp_top, top_idx = jax.lax.top_k(logp_t, A)             # (B, A)
     chars = jnp.broadcast_to(top_idx[:, None, :], (B, K, A))
@@ -190,26 +199,11 @@ def _build_candidates_topa(state: BeamState, logp_t, *, blank, vocab,
     else:
         ext_lm = jnp.broadcast_to(state.lm_s[..., None], ext_pnb.shape)
 
-    if ctx_window:
-        C = state.ctx.shape[-1]
-        base_ctx = jnp.broadcast_to(state.ctx[:, :, None, 1:],
-                                    (B, K, A, C - 1)) if C > 1 else \
-            jnp.zeros((B, K, A, 0), jnp.int32)
-        ext_ctx = jnp.concatenate([base_ctx, chars[..., None]], axis=-1)
-    elif lm_table is not None:
-        n_ctx = lm_table.shape[0]
-        ext_ctx = (state.ctx[..., None] * vocab + chars) % n_ctx
-    else:
-        ext_ctx = jnp.broadcast_to(state.ctx[..., None], ext_pnb.shape)
+    ext_ctx = _ext_ctx(state, chars, vocab,
+                       lm_table if not ctx_window else None, ctx_window)
 
     ext_hash = state.hash[..., None] * HASH_MULT + chars
     pid = jnp.arange(K, dtype=jnp.int32)
-    stay = {
-        "pb": stay_pb, "pnb": stay_pnb, "lm": state.lm_s, "hash": state.hash,
-        "ctx": state.ctx, "last": state.last,
-        "parent": jnp.broadcast_to(pid[None, :], (B, K)),
-        "append": jnp.full((B, K), -1, jnp.int32),
-    }
     ext = {
         "pnb": ext_pnb, "lm": ext_lm, "hash": ext_hash, "ctx": ext_ctx,
         "last": chars, "chars": chars,
@@ -516,7 +510,9 @@ def prefix_beam_search(
     # (round 4) runs the identical search (bit-equal scores on v5e) at 1.9x
     # the restricted scan / 4x the full scan (40.5 vs 77.3 / 163.9 us/frame
     # at B=16 K=16 V=1024 A=128) -- the production no-LM BPE decode path.
-    topa_only = (ext_top_a > 0 and lm_table is None and rnn_lm is None
+    # ext_top_a >= V means unrestricted in the scan (_step's guard), so it
+    # must not dispatch the restricted kernel.
+    topa_only = (0 < ext_top_a < V and lm_table is None and rnn_lm is None
                  and hash_lm is None and not lm_top_k)
     if use_fused is None:
         # Auto: the lane-parallel fused kernel (ops/beam_pallas.py,
@@ -530,14 +526,22 @@ def prefix_beam_search(
         # K=16 V=32: ~24 s at B=16, ~124 s at B=32, ~172 s at B=64, while
         # per-utterance runtime stays flat) -- auto only takes the kernel at
         # the validated batch; force use_fused=True to accept the one-time
-        # compile at larger batches.
+        # compile at larger batches.  Gate on GLOBAL B (per-shard B under a
+        # data mesh is only smaller), keeping the auto decision a pure
+        # function of shapes+statics -- the jit cache key -- rather than of
+        # the ambient mesh context at trace time.
+        use_fused = ((no_lm or dense_only or topa_only)
+                     and jax.default_backend() == "tpu" and lanes <= 2048
+                     and B <= 16)
+    if use_fused:
+        # Under an active data mesh the kernel runs per shard via shard_map,
+        # which needs the batch divisible by the data axis; fall back to the
+        # scan (which GSPMD partitions freely) instead of erroring.
         from pytorch_asr_tpu.parallel.mesh import active_mesh
 
         mesh = active_mesh()
-        local_b = B // mesh.shape["data"] if mesh is not None else B
-        use_fused = ((no_lm or dense_only or topa_only)
-                     and jax.default_backend() == "tpu" and lanes <= 2048
-                     and local_b <= 16)
+        if mesh is not None and B % mesh.shape["data"] != 0:
+            use_fused = False
     if use_fused and topa_only:
         from jax.sharding import PartitionSpec as P
 

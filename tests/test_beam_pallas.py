@@ -143,3 +143,41 @@ def test_fused_beam_peaky_decodes_argmax_sequence():
     g_ids, g_n = greedy_ctc(jnp.asarray(logits), lens)
     np.testing.assert_array_equal(np.asarray(tk)[0, : int(lk[0])],
                                   np.asarray(g_ids)[0, : int(g_n[0])])
+
+
+def test_ext_top_a_geq_vocab_is_unrestricted_not_kernel():
+    """ext_top_a >= V means 'unrestricted' in the scan; the auto/forced
+    fused dispatch must not hand it to the restricted kernel (which requires
+    A < V)."""
+    rng = np.random.default_rng(2)
+    B, T, V, K, L = 2, 10, 16, 4, 12
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 3], np.int32)
+    tk, lk, _ = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                   ext_top_a=V, use_fused=True)
+    tx, lx, _ = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                   use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    np.testing.assert_array_equal(np.asarray(tk), np.asarray(tx))
+
+
+def test_fused_falls_back_when_batch_indivisible_by_data_axis():
+    """Under an active data mesh, a batch not divisible by the data axis
+    must fall back to the scan (GSPMD partitions it freely) instead of
+    erroring inside shard_map."""
+    from pytorch_asr_tpu.configs.base import MeshConfig
+    from pytorch_asr_tpu.parallel.mesh import make_mesh, use_mesh
+
+    rng = np.random.default_rng(3)
+    B, T, V, K, L = 4, 10, 16, 4, 12        # B=4 vs 8 devices: indivisible
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 1, T - 2, T], np.int32)
+    mesh = make_mesh(MeshConfig(data_axis=8, model_axis=1))
+    assert mesh.shape["data"] == 8
+    with use_mesh(mesh):
+        tk, lk, _ = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                       use_fused=True)
+    tx, lx, _ = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                   use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    np.testing.assert_array_equal(np.asarray(tk), np.asarray(tx))
