@@ -339,6 +339,54 @@ def _expand_beam_field(x, K: int, V: int):
         [jnp.broadcast_to(x[:, k:k + 1], (B, V)) for k in range(K)], axis=1)
 
 
+def _absorb(hsh, alive, ext_hash, ext_pnb, c_flat, blank: int, K: int,
+            rank3: bool = False):
+    """Hash absorption over flat candidate lanes: ext lanes whose extended
+    prefix equals stay k' merge their acoustic mass into that stay.
+
+    Returns (add (B, K) log-mass to logaddexp into stay_pnb, abs_m (B, N)
+    absorbed-lane mask).  Two layouts:
+
+      * loop (default): K iterations, each one full-lane compare + masked
+        logsumexp over (B, N) -- ~6 rank-2 ops per target stay.
+      * rank3: all K targets at once on (B, K, N) arrays -- ~8 rank-3 ops
+        total (bool masks lifted to int32: i1 rank-expansion is unsupported
+        in Mosaic).  Measured a WASH on v5e at the bench shape (two
+        alternated runs: 32.1/30.3 then 30.6/30.4 ms vs the loop) -- the
+        op-count saving is repaid in (B, K, N) VPU/VMEM traffic.  The loop
+        stays default (simpler, known-good across all lane kernels); the
+        variant is kept as the recorded study.
+    """
+    if rank3:
+        # (bool (i1) rank-expansion is unsupported in Mosaic: lift the
+        # rank-2 masks to int32 before inserting dims, compare at rank 3)
+        lane_ok_i = jnp.where((c_flat >= 1) & (c_flat != blank), 1, 0)
+        alive_i = jnp.where(alive, 1, 0)                        # (B, K) i32
+        m3 = ((ext_hash[:, None, :] == hsh[:, :, None])
+              & (lane_ok_i[:, None, :] > 0)
+              & (alive_i[:, :, None] > 0))                      # (B, K, N)
+        vals3 = jnp.where(m3, ext_pnb[:, None, :], NEG_INF)
+        mx = jnp.max(vals3, axis=2)                             # (B, K)
+        s = jnp.sum(jnp.exp(vals3 - mx[:, :, None]), axis=2)
+        add = jnp.where(mx > NEG_INF / 2, mx + jnp.log(s), NEG_INF)
+        return add, jnp.any(m3, axis=1)
+    abs_m = c_flat < 0                                          # all-False
+    add_cols = []
+    for k2 in range(K):
+        m = ((ext_hash == hsh[:, k2:k2 + 1]) & (c_flat >= 1)
+             & (c_flat != blank) & alive[:, k2:k2 + 1])
+        vals = jnp.where(m, ext_pnb, NEG_INF)
+        mx = jnp.max(vals, axis=1)                              # (B,)
+        s = jnp.sum(jnp.exp(vals - mx[:, None]), axis=1)
+        add_cols.append(jnp.where(mx > NEG_INF / 2, mx + jnp.log(s),
+                                  NEG_INF)[:, None])
+        abs_m = abs_m | m
+    return jnp.concatenate(add_cols, axis=1), abs_m
+
+
+ABSORB_RANK3 = False
+
+
 def _paired_topk_select(K, kf, flat_idx, stay_score, ext_score, c_flat,
                         par_flat, fields):
     """K rounds of paired argmax over stays (B, K) + flat ext lanes (B, N).
@@ -479,21 +527,11 @@ def _beam_kernel_lanes(logp_ref, len_ref, lm_ref, par_out, app_out,
             ctx_lane = _expand_beam_field(ctx, K, V)
 
         # ---- hash absorption: ext(k, c) whose prefix equals stay k' --------
-        # (same O(K^2) family as the XLA merge, but each target stay scans
-        # all KV candidates with one full-lane compare + masked logsumexp)
+        # (same O(K^2) family as the XLA merge; see _absorb for the layout
+        # study)
         alive = jnp.logaddexp(stay_pb, stay_pnb) > NEG_INF / 2  # (B, K)
-        abs_m = c_flat < 0                                      # all-False
-        add_cols = []
-        for k2 in range(K):
-            m = ((ext_hash == hsh[:, k2:k2 + 1]) & (c_flat >= 1)
-                 & (c_flat != blank) & alive[:, k2:k2 + 1])
-            vals = jnp.where(m, ext_pnb, NEG_INF)
-            mx = jnp.max(vals, axis=1)                          # (B,)
-            s = jnp.sum(jnp.exp(vals - mx[:, None]), axis=1)
-            add_cols.append(jnp.where(mx > NEG_INF / 2, mx + jnp.log(s),
-                                      NEG_INF)[:, None])
-            abs_m = abs_m | m
-        add = jnp.concatenate(add_cols, axis=1)                 # (B, K)
+        add, abs_m = _absorb(hsh, alive, ext_hash, ext_pnb, c_flat, blank, K,
+                             rank3=ABSORB_RANK3)
         stay_pnb_m = jnp.logaddexp(stay_pnb, add)
 
         # Rank by the FUSED score (acoustic + accumulated LM), exactly like
@@ -690,18 +728,8 @@ def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref,
 
         # ---- hash absorption (direct equality == the sparse merge) -----
         alive = jnp.logaddexp(stay_pb, stay_pnb) > NEG_INF / 2
-        abs_m = c_flat < 0                                     # all-False
-        add_cols = []
-        for k2 in range(K):
-            m = ((ext_hash == hsh[:, k2:k2 + 1]) & (c_flat >= 1)
-                 & (c_flat != blank) & alive[:, k2:k2 + 1])
-            vals = jnp.where(m, ext_pnb, NEG_INF)
-            mx = jnp.max(vals, axis=1)
-            s = jnp.sum(jnp.exp(vals - mx[:, None]), axis=1)
-            add_cols.append(jnp.where(mx > NEG_INF / 2, mx + jnp.log(s),
-                                      NEG_INF)[:, None])
-            abs_m = abs_m | m
-        add = jnp.concatenate(add_cols, axis=1)
+        add, abs_m = _absorb(hsh, alive, ext_hash, ext_pnb, c_flat, blank, K,
+                             rank3=ABSORB_RANK3)
         stay_pnb_m = jnp.logaddexp(stay_pnb, add)
 
         stay_score = jnp.logaddexp(stay_pb, stay_pnb_m)
