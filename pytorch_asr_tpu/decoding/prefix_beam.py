@@ -476,11 +476,13 @@ def prefix_beam_search(
     sos_id: int = 29,
     hash_lm=None,                # lm_hashed.HashedNgramLM for large vocabs
     use_fused: bool | None = None,   # None: auto -- the lane-parallel fused
-                                     # Pallas kernel when no LM fusion is
-                                     # requested, on a real TPU, at kernel-
-                                     # validated sizes (measured 3.5x the
-                                     # scan at B=16 K=16 V=32 on v5e);
-                                     # True: force it; False: XLA scan
+                                     # Pallas kernels for no-LM, dense-table,
+                                     # and no-LM ext_top_a searches on a real
+                                     # TPU at kernel-validated sizes (lanes
+                                     # <= 2048, B <= 16; 1.9-3.5x the scan
+                                     # on v5e, see ops/beam_pallas.py);
+                                     # True: force them (any batch; compile
+                                     # grows steeply past B=16); False: scan
     lm_top_k: int = 0,           # acoustic-pruned hashed fusion (see _step)
     ext_top_a: int = 0,          # restrict ext candidates to the frame's
                                  # top-A acoustic chars, exact LM on all of
