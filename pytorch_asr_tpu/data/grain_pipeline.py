@@ -122,6 +122,9 @@ class GrainBucketedIterator:
         self._lazy = (hasattr(corpus, "audio_lengths")
                       and hasattr(corpus, "transcript"))
         self._pool = None
+        # Unique per-iterator prefix: lets tests (and debuggers) tell THIS
+        # iterator's decode threads from any other live iterator's.
+        self._pool_prefix = f"audio-decode-{id(self):x}"
         if self._lazy:
             import os as _os
 
@@ -211,7 +214,8 @@ class GrainBucketedIterator:
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(
-                max_workers=self._workers, thread_name_prefix="audio-decode")
+                max_workers=self._workers,
+                thread_name_prefix=self._pool_prefix)
         audios = list(self._pool.map(
             lambda i: np.asarray(self._corpus[i][0], np.float32),
             [i for i, _, _ in buf]))

@@ -539,6 +539,12 @@ def prefix_beam_search(
         # Under an active data mesh the kernel runs per shard via shard_map,
         # which needs the batch divisible by the data axis; fall back to the
         # scan (which GSPMD partitions freely) instead of erroring.
+        # CACHE CAVEAT: this reads the AMBIENT mesh at trace time, and the
+        # mesh is not part of the jit cache key -- a trace cached outside
+        # use_mesh() is reused under a later mesh (and vice versa), so this
+        # fallback is only guaranteed on the first call per shape/static
+        # combination.  Callers mixing meshed and unmeshed calls at the same
+        # shapes should pass use_fused explicitly.
         from pytorch_asr_tpu.parallel.mesh import active_mesh
 
         mesh = active_mesh()

@@ -519,9 +519,14 @@ def _beam_kernel_lanes(logp_ref, len_ref, lm_ref, par_out, app_out,
             # ext_lm = lm_s + (alpha * row + beta)
             ext_lm = _expand_beam_field(lms, K, V) \
                 + (lm_alpha * rows_flat + lm_beta)
-            ctx_lane = jax.lax.rem(
-                _expand_beam_field(ctx, K, V) * V + c_flat,
-                jnp.int32(n_ctx))                              # (B, KV)
+            # Floored mod (NOT lax.rem, which is truncated): if ctx*V + c
+            # wraps int32 negative at a very large table, truncated rem
+            # yields a negative context id whose one-hot gather silently
+            # matches no table row, while the scan's `%` wraps to a valid
+            # row -- floored mod keeps bit-parity even under wraparound.
+            raw = _expand_beam_field(ctx, K, V) * V + c_flat
+            r = jax.lax.rem(raw, jnp.int32(n_ctx))
+            ctx_lane = jnp.where(r < 0, r + n_ctx, r)          # (B, KV)
         else:
             ext_lm = _expand_beam_field(lms, K, V)
             ctx_lane = _expand_beam_field(ctx, K, V)
@@ -672,6 +677,73 @@ def prefix_beam_fused_lanes(logits, logit_len, beam_size: int = 16,
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Shared b-major (B*K)-row helpers for per-beam LM state carried IN KERNEL
+# (round 5): neural-LM (h, c, logp) and dense-table rows live as plain 2-D
+# (B*K, ...) VMEM arrays, row r = b*K + k.  Every reorder/lookup is rank-2
+# iota arithmetic + one-hot MXU matmuls -- no batched dot_generals, no
+# rank-3 intermediates, nothing for Mosaic to scalarize.
+# ---------------------------------------------------------------------------
+
+
+def _dot2(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=((((1,), (0,))), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _field_to_bk(x, B: int, K: int):
+    """(B, K) -> (B*K, 1) f32, row r = b*K + k (values must be exact in f32,
+    i.e. small ints or floats).  One one-hot matmul + one masked reduce."""
+    BK = B * K
+    m1 = (jax.lax.broadcasted_iota(jnp.int32, (BK, B), 1)
+          == jax.lax.broadcasted_iota(jnp.int32, (BK, B), 0) // K
+          ).astype(jnp.float32)                           # selects row b
+    part = _dot2(m1, x.astype(jnp.float32))               # (BK, K) = x[b, :]
+    colm = (jax.lax.broadcasted_iota(jnp.int32, (BK, K), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (BK, K), 0) % K)
+    return jnp.sum(jnp.where(colm, part, 0.0), axis=1, keepdims=True)
+
+
+def _parent_perm(parent, B: int, K: int):
+    """One-hot permutation P (BK, BK) f32 with P[b*K+k, b*K+parent[b,k]]=1:
+    ``P @ state`` reorders per-beam LM state rows by parent index."""
+    BK = B * K
+    pv = _field_to_bk(parent, B, K)                       # (BK, 1) f32
+    r0 = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 0)
+    c0 = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 1)
+    return ((r0 // K == c0 // K)
+            & (c0 % K == pv.astype(jnp.int32))).astype(jnp.float32)
+
+
+def _gather_rows_topa(rows_bk, ti_t, B: int, K: int, A: int, V: int):
+    """Candidate-lane gather: rows_bk (B*K, V) b-major per-beam score rows,
+    ti_t (B, A) this frame's shared top-A char ids -> (B, K*A) with
+    out[b, k*A + a] = rows_bk[b*K + k, ti_t[b, a]].
+
+    Per utterance b: ONE (K, V) @ (V, A) one-hot MXU matmul (the (V, A)
+    one-hot selects candidate columns exactly); the per-beam lane blocks are
+    then re-assembled by K tiny (B, BK) selection matmuls.  Total ~134
+    MFLOP/frame at B=16 K=16 V=1024 A=128 -- 8x less than the single
+    (BK, V) @ (V, B*A) "wide" formulation, whose cross-batch columns are
+    15/16 wasted work."""
+    BK = B * K
+    iota_va0 = jax.lax.broadcasted_iota(jnp.int32, (V, A), 0)
+    g_rows = []
+    for b in range(B):
+        ohb = (iota_va0 == ti_t[b:b + 1, :]).astype(jnp.float32)   # (V, A)
+        g_rows.append(_dot2(rows_bk[b * K:(b + 1) * K, :], ohb))   # (K, A)
+    g_all = jnp.concatenate(g_rows, axis=0)                        # (BK, A)
+    r0 = jax.lax.broadcasted_iota(jnp.int32, (B, BK), 1)
+    lane_cols = []
+    for k in range(K):
+        sel_k = (r0 == jax.lax.broadcasted_iota(jnp.int32, (B, BK), 0) * K
+                 + k).astype(jnp.float32)                          # (B, BK)
+        lane_cols.append(_dot2(sel_k, g_all))                      # (B, A)
+    return jnp.concatenate(lane_cols, axis=1)                      # (B, K*A)
+
+
 def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref,
                             par_out, app_out, score_out, len_out,
                             pb_sc, pnb_sc, hash_sc, last_sc, length_sc,
@@ -759,6 +831,274 @@ def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref,
 
     score_out[:] = jnp.logaddexp(pb_sc[:], pnb_sc[:])
     len_out[:] = length_sc[:]
+
+
+def _beam_kernel_lanes_topa_rnn(logp_ref, tv_ref, ti_ref, len_ref,
+                                h0_ref, c0_ref, lmp0_ref,
+                                emb_ref, wout_ref, bout_ref,
+                                *rest,
+                                tc: int, K: int, A: int, V: int, L: int,
+                                blank: int, nl: int, H: int,
+                                lm_alpha: float, lm_beta: float):
+    """Restricted-candidate lane beam with the FULL RNN-LM step fused in.
+
+    The neural-LM state of every beam hypothesis -- per-layer (h, c) and the
+    current log P(. | prefix) row -- lives in VMEM scratch as b-major
+    (B*K, .) 2-D arrays for the whole decode.  Each frame: candidate LM
+    scores are gathered from the resident logp rows (_gather_rows_topa),
+    candidates are ranked by the fused score, and the LM advances INSIDE the
+    kernel -- parent reorder as one (BK, BK) one-hot MXU matmul
+    (_parent_perm), embed lookup as a one-hot matmul, the LSTM layers and
+    output projection as plain 2-D matmuls, log-softmax as rank-2 rowwise
+    reductions.  Zero HBM round-trips per frame; the search is identical to
+    decoding/prefix_beam.py's ext_top_a + rnn_lm scan (parity-tested)."""
+    wx = rest[0:nl]
+    wh = rest[nl:2 * nl]
+    bl = rest[2 * nl:3 * nl]
+    par_out, app_out, score_out, len_out = rest[3 * nl:3 * nl + 4]
+    (pb_sc, pnb_sc, hash_sc, last_sc, length_sc, lms_sc,
+     h_sc, c_sc, lmp_sc) = rest[3 * nl + 4:]
+
+    ic = pl.program_id(0)
+    B = len_ref.shape[0]
+    BK = B * K
+    KA = K * A
+    kf = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    par_flat = jnp.concatenate(
+        [jnp.full((B, A), k, jnp.int32) for k in range(K)], axis=1)
+    flat_idx = jax.lax.broadcasted_iota(jnp.int32, (B, KA), 1)  # k*A + a
+
+    @pl.when(ic == 0)
+    def _():
+        pb_sc[:] = jnp.where(kf == 0, 0.0, NEG_INF)
+        pnb_sc[:] = jnp.full((B, K), NEG_INF)
+        hash_sc[:] = -(kf + 1)
+        last_sc[:] = jnp.full((B, K), -1, jnp.int32)
+        length_sc[:] = jnp.zeros((B, K), jnp.int32)
+        lms_sc[:] = jnp.zeros((B, K), jnp.float32)
+        h_sc[:] = h0_ref[:]
+        c_sc[:] = c0_ref[:]
+        lmp_sc[:] = lmp0_ref[:]
+
+    lens = len_ref[:]                                          # (B, 1)
+    # lens replicated to b-major (BK, 1) rows once: act_bk = t < lens_bk.
+    m1 = (jax.lax.broadcasted_iota(jnp.int32, (BK, B), 1)
+          == jax.lax.broadcasted_iota(jnp.int32, (BK, B), 0) // K
+          ).astype(jnp.float32)
+    lens_bk = _dot2(m1, lens.astype(jnp.float32)).astype(jnp.int32)
+
+    for j in range(tc):
+        t = ic * tc + j
+        logp_t = logp_ref[j]                                   # (B, V)
+        top_val = tv_ref[j]                                    # (B, A)
+        top_idx = ti_ref[j]                                    # (B, A) i32
+        c_flat = jnp.concatenate([top_idx] * K, axis=1)        # (B, KA)
+        lp_flat = jnp.concatenate([top_val] * K, axis=1)
+        pb, pnb = pb_sc[:], pnb_sc[:]
+        hsh, last, length = hash_sc[:], last_sc[:], length_sc[:]
+        lms = lms_sc[:]
+        total = jnp.logaddexp(pb, pnb)
+
+        # ---- stay candidates (B, K) ------------------------------------
+        lp_blank = logp_t[:, blank][:, None]
+        lp_last = jnp.concatenate(
+            [jnp.sum(jnp.where(iota_v == last[:, k:k + 1], logp_t, 0.0),
+                     axis=1)[:, None] for k in range(K)], axis=1)
+        stay_pb = total + lp_blank
+        stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
+
+        # ---- restricted extension candidates (B, K*A) ------------------
+        is_rep = c_flat == _expand_beam_field(last, K, A)
+        base = jnp.where(is_rep, _expand_beam_field(pb, K, A),
+                         _expand_beam_field(total, K, A))
+        len_f = _expand_beam_field(length, K, A)
+        ext_pnb = base + lp_flat
+        ext_pnb = jnp.where(len_f >= L, NEG_INF, ext_pnb)
+        ext_pnb = jnp.where(c_flat == blank, NEG_INF, ext_pnb)
+        ext_hash = _expand_beam_field(hsh, K, A) * HASH_MULT + c_flat
+
+        # ---- neural-LM candidate scores from the resident logp rows ----
+        rows_flat = _gather_rows_topa(lmp_sc[:], top_idx, B, K, A, V)
+        ext_lm = _expand_beam_field(lms, K, A) \
+            + (lm_alpha * rows_flat + lm_beta)
+
+        # ---- hash absorption + fused-score ranking ---------------------
+        alive = jnp.logaddexp(stay_pb, stay_pnb) > NEG_INF / 2
+        add, abs_m = _absorb(hsh, alive, ext_hash, ext_pnb, c_flat, blank, K,
+                             rank3=ABSORB_RANK3)
+        stay_pnb_m = jnp.logaddexp(stay_pnb, add)
+        stay_score = jnp.logaddexp(stay_pb, stay_pnb_m) + lms
+        ext_score = jnp.where(abs_m, NEG_INF, ext_pnb + ext_lm)
+
+        parent, append, top_score, picked = _paired_topk_select(
+            K, kf, flat_idx, stay_score, ext_score, c_flat, par_flat,
+            [(stay_pb, None, "f"), (stay_pnb_m, ext_pnb, "f"),
+             (hsh, ext_hash, "i"), (last, c_flat, "i"),
+             (length, len_f + 1, "i"), (lms, ext_lm, "f")])
+        g_pb, g_pnb, g_hash, new_last, new_len, new_lms = picked
+        dead = top_score <= NEG_INF / 2
+        new_pb = jnp.where(dead, NEG_INF, g_pb)
+        new_pnb = jnp.where(dead, NEG_INF, g_pnb)
+        new_hash = jnp.where(dead, -(kf + 1), g_hash)
+        # new_lms: no dead reset (scan parity)
+
+        # ---- in-kernel RNN-LM advance (scan _finish_step parity) -------
+        perm = _parent_perm(parent, B, K)                  # (BK, BK) f32
+        av = _field_to_bk(jnp.maximum(append, 0), B, K)    # (BK, 1) f32
+        ext_col = _field_to_bk((append >= 0).astype(jnp.float32),
+                               B, K) > 0.5                 # (BK, 1) bool
+        g_lmp = _dot2(perm, lmp_sc[:])                     # (BK, V)
+        x = _dot2((jax.lax.broadcasted_iota(jnp.int32, (BK, V), 1)
+                   == av.astype(jnp.int32)).astype(jnp.float32),
+                  emb_ref[:])                              # (BK, E)
+        new_h, new_c, old_h, old_c = [], [], [], []
+        for l in range(nl):
+            h_l = h_sc[l * BK:(l + 1) * BK, :]
+            c_l = c_sc[l * BK:(l + 1) * BK, :]
+            gh = _dot2(perm, h_l)
+            gc = _dot2(perm, c_l)
+            gates = _dot2(x, wx[l][:]) + _dot2(gh, wh[l][:]) + bl[l][:]
+            gi = gates[:, 0:H]
+            gf = gates[:, H:2 * H]
+            gg = gates[:, 2 * H:3 * H]
+            go = gates[:, 3 * H:4 * H]
+            c_n = (jax.nn.sigmoid(gf + 1.0) * gc
+                   + jax.nn.sigmoid(gi) * jnp.tanh(gg))
+            h_n = jax.nn.sigmoid(go) * jnp.tanh(c_n)
+            new_h.append(jnp.where(ext_col, h_n, gh))
+            new_c.append(jnp.where(ext_col, c_n, gc))
+            old_h.append(h_l)
+            old_c.append(c_l)
+            x = h_n
+        logits_lm = _dot2(x, wout_ref[:]) + bout_ref[:]    # (BK, V)
+        mx = jnp.max(logits_lm, axis=1, keepdims=True)
+        lse = mx + jnp.log(jnp.sum(jnp.exp(logits_lm - mx), axis=1,
+                                   keepdims=True))
+        new_lmp = jnp.where(ext_col, logits_lm - lse, g_lmp)
+
+        # ---- freeze rows past their length; record backpointers --------
+        act = t < lens                                     # (B, 1)
+        act_bk = t < lens_bk                               # (BK, 1)
+        for l in range(nl):
+            h_sc[l * BK:(l + 1) * BK, :] = jnp.where(act_bk, new_h[l],
+                                                     old_h[l])
+            c_sc[l * BK:(l + 1) * BK, :] = jnp.where(act_bk, new_c[l],
+                                                     old_c[l])
+        lmp_sc[:] = jnp.where(act_bk, new_lmp, lmp_sc[:])
+        pb_sc[:] = jnp.where(act, new_pb, pb)
+        pnb_sc[:] = jnp.where(act, new_pnb, pnb)
+        hash_sc[:] = jnp.where(act, new_hash, hsh)
+        last_sc[:] = jnp.where(act, new_last, last)
+        length_sc[:] = jnp.where(act, new_len, length)
+        lms_sc[:] = jnp.where(act, new_lms, lms)
+        par_out[j] = jnp.where(act, parent, kf)
+        app_out[j] = jnp.where(act, append, -1)
+
+    score_out[:] = jnp.logaddexp(pb_sc[:], pnb_sc[:]) + lms_sc[:]
+    len_out[:] = length_sc[:]
+
+
+def prefix_beam_fused_lanes_topa_rnn(logits, logit_len, rnn_lm,
+                                     rnn_lm_params, beam_size: int = 16,
+                                     blank: int = 0, max_len: int = 256,
+                                     top_a: int = 128,
+                                     lm_alpha: float = 0.0,
+                                     lm_beta: float = 0.0,
+                                     sos_id: int = 29):
+    """Restricted-candidate lane kernel with IN-KERNEL neural-LM fusion.
+
+    The exact search of decoding.prefix_beam.prefix_beam_search(
+    rnn_lm=..., ext_top_a=top_a, use_fused=False): per-beam LM state
+    (per-layer (h, c) and the logp row) rides in VMEM scratch and advances
+    inside the kernel each frame -- the "device-resident LM state" of the
+    BASELINE north star with zero HBM round-trips per frame.  The <sos>
+    priming step runs once outside (all beams start identical).
+
+    Returns (tokens (B, L), lengths (B,), scores (B,)).
+    """
+    B, T, V = logits.shape
+    K, L, A = beam_size, max_len, int(top_a)
+    if A >= V:
+        raise ValueError(f"top_a {A} must be < vocab {V}")
+    cfg = rnn_lm.cfg
+    nl, H, E = cfg.num_layers, cfg.hidden_dim, cfg.embed_dim
+    BK = B * K
+    p = rnn_lm_params
+
+    from pytorch_asr_tpu.models.lm_rnn import lm_step_logp
+
+    st0 = rnn_lm.apply({"params": p}, 1, method=rnn_lm.init_state)
+    logp0, st1 = lm_step_logp(
+        rnn_lm, p, jnp.full((1,), sos_id, jnp.int32), st0)
+    h0 = jnp.reshape(jnp.broadcast_to(st1.h[:, 0:1, :], (nl, BK, H)),
+                     (nl * BK, H))
+    c0 = jnp.reshape(jnp.broadcast_to(st1.c[:, 0:1, :], (nl, BK, H)),
+                     (nl * BK, H))
+    lmp0 = jnp.broadcast_to(logp0, (BK, V))
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tc = TIME_CHUNK
+    t_pad = _round_up(T, tc)
+    n_chunks = t_pad // tc
+    logp_p = jnp.pad(logp, ((0, 0), (0, t_pad - T), (0, 0)))
+    top_val, top_idx = jax.lax.top_k(logp_p, A)              # (B, Tp, A)
+    logp_tbv = jnp.swapaxes(logp_p, 0, 1)
+    tv_tba = jnp.swapaxes(top_val, 0, 1)
+    ti_tba = jnp.swapaxes(top_idx, 0, 1).astype(jnp.int32)
+    lm_arrays = ([p["embed"], p["w_out"], p["b_out"][None, :]]
+                 + [p[f"lstm{l}_wx"] for l in range(nl)]
+                 + [p[f"lstm{l}_wh"] for l in range(nl)]
+                 + [p[f"lstm{l}_b"][None, :] for l in range(nl)])
+    kern = functools.partial(_beam_kernel_lanes_topa_rnn, tc=tc, K=K, A=A,
+                             V=V, L=L, blank=blank, nl=nl, H=H,
+                             lm_alpha=float(lm_alpha),
+                             lm_beta=float(lm_beta))
+    parents, appends, scores, lengths = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((tc, B, V), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tc, B, A), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tc, B, A), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # logit_len (B, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # h0
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # c0
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # lmp0
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 3 * nl),
+        out_specs=[
+            pl.BlockSpec((tc, B, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tc, B, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, K), lambda i: (0, 0)),
+            pl.BlockSpec((B, K), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, B, K), jnp.int32),   # parents
+            jax.ShapeDtypeStruct((t_pad, B, K), jnp.int32),   # appends
+            jax.ShapeDtypeStruct((B, K), jnp.float32),        # final scores
+            jax.ShapeDtypeStruct((B, K), jnp.int32),          # final lengths
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, K), jnp.float32),              # pb
+            pltpu.VMEM((B, K), jnp.float32),              # pnb
+            pltpu.VMEM((B, K), jnp.int32),                # rolling hash
+            pltpu.VMEM((B, K), jnp.int32),                # last char
+            pltpu.VMEM((B, K), jnp.int32),                # lengths
+            pltpu.VMEM((B, K), jnp.float32),              # accumulated lm
+            pltpu.VMEM((nl * BK, H), jnp.float32),        # lstm h (b-major)
+            pltpu.VMEM((nl * BK, H), jnp.float32),        # lstm c (b-major)
+            pltpu.VMEM((BK, V), jnp.float32),             # lm logp rows
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(logp_tbv, tv_tba, ti_tba, logit_len.astype(jnp.int32)[:, None],
+      h0, c0, lmp0, *[a.astype(jnp.float32) for a in lm_arrays])
+    best = jnp.argmax(scores, axis=1)                          # (B,)
+    tokens = _backtrace(parents, appends, best, L)
+    final_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    final_sc = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return tokens, final_len, final_sc
 
 
 def prefix_beam_fused_lanes_topa(logits, logit_len, beam_size: int = 16,

@@ -143,7 +143,10 @@ def main() -> None:
         # kernel is the fused path (bit-equal to the ext_top_a scan).
         from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused_lanes_topa
 
-        A = int(kv.get("lm_top_k", 128))
+        # ext_top_a is the candidate-restriction width (top-A lanes); it is
+        # a different knob from lm_top_k (hashed-fusion lookup pruning) --
+        # the old lm_top_k spelling is kept as a fallback for back-compat.
+        A = int(kv.get("ext_top_a", kv.get("lm_top_k", 128)))
         measure(f"lanes topA={A}", lambda: jax.jit(
             prefix_beam_fused_lanes_topa, static_argnums=(2, 3, 4, 5))(
             logits, lens, K, 0, 256, A))

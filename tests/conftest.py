@@ -29,3 +29,24 @@ if not _ON_TPU:
         "tests must run on the virtual-CPU backend; a real backend was "
         "initialized before conftest could redirect it"
     )
+
+import pytest
+
+# The kernel-parity core: every Pallas kernel's correctness tests plus the
+# beam searches they must match.  `pytest -m quick` covers the pieces most
+# likely to break under kernel work in ~5 min; the full suite (~28 min on a
+# 2-CPU box) stays the merge gate.
+_QUICK_FILES = {
+    "test_beam_pallas.py",
+    "test_ctc_pallas.py",
+    "test_stft_pallas.py",
+    "test_prefix_beam.py",
+    "test_ctc.py",
+    "test_pallas_mesh.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.basename in _QUICK_FILES:
+            item.add_marker(pytest.mark.quick)
