@@ -477,8 +477,10 @@ def prefix_beam_search(
     hash_lm=None,                # lm_hashed.HashedNgramLM for large vocabs
     use_fused: bool | None = None,   # None: auto -- the lane-parallel fused
                                      # Pallas kernels for no-LM, dense-table,
-                                     # and no-LM ext_top_a searches on a real
-                                     # TPU at kernel-validated sizes (lanes
+                                     # and ext_top_a searches (no-LM, dense
+                                     # +top-A, and in-kernel RNN-LM fusion,
+                                     # round 5) on a real TPU at
+                                     # kernel-validated sizes (lanes
                                      # <= 2048, B <= 16; 1.9-3.5x the scan
                                      # on v5e, see ops/beam_pallas.py);
                                      # True: force them (any batch; compile
@@ -516,6 +518,19 @@ def prefix_beam_search(
     # must not dispatch the restricted kernel.
     topa_only = (0 < ext_top_a < V and lm_table is None and rnn_lm is None
                  and hash_lm is None and not lm_top_k)
+    # Round 5: the restricted lane kernel also fuses a VMEM-safe dense table
+    # (the BPE n-gram route -- dense_only's full-vocab lanes are refuted at
+    # K*V = 16384) and the FULL neural LM (per-beam (h, c) + logp rows
+    # resident in VMEM scratch, advanced in kernel).  Hashed backoff tables
+    # are the recorded refutation: they are HBM-resident by design (tens of
+    # MB) and a Mosaic one-hot gather's cost scales with table rows, so
+    # in-kernel hashed fusion loses to the scan's native dynamic gather.
+    dense_topa = (0 < ext_top_a < V and lm_table is not None
+                  and rnn_lm is None and hash_lm is None and not lm_top_k
+                  and lm_table.shape[0] <= 4096
+                  and lm_table.shape[0] * V * 4 <= 8 * 1024 * 1024)
+    rnn_topa = (0 < ext_top_a < V and rnn_lm is not None
+                and lm_table is None and hash_lm is None and not lm_top_k)
     if use_fused is None:
         # Auto: the lane-parallel fused kernel (ops/beam_pallas.py,
         # prefix_beam_fused_lanes) wins 3.5x over this scan on v5e at the
@@ -523,7 +538,8 @@ def prefix_beam_search(
         # round 4), and 2.6x with dense-table fusion.  Gated to no-LM or
         # dense-table searches on a real TPU at sizes the kernel layout was
         # validated at (candidate lanes <= 2048).
-        lanes = beam_size * (ext_top_a if topa_only else V)
+        is_topa = topa_only or dense_topa or rnn_topa
+        lanes = beam_size * (ext_top_a if is_topa else V)
         # Mosaic compile time grows steeply with the PER-SHARD batch (v5e,
         # K=16 V=32: ~24 s at B=16, ~124 s at B=32, ~172 s at B=64, while
         # per-utterance runtime stays flat) -- auto only takes the kernel at
@@ -532,7 +548,8 @@ def prefix_beam_search(
         # data mesh is only smaller), keeping the auto decision a pure
         # function of shapes+statics -- the jit cache key -- rather than of
         # the ambient mesh context at trace time.
-        use_fused = ((no_lm or dense_only or topa_only)
+        use_fused = ((no_lm or dense_only or topa_only or dense_topa
+                      or rnn_topa)
                      and jax.default_backend() == "tpu" and lanes <= 2048
                      and B <= 16)
     if use_fused:
@@ -550,18 +567,40 @@ def prefix_beam_search(
         mesh = active_mesh()
         if mesh is not None and B % mesh.shape["data"] != 0:
             use_fused = False
-    if use_fused and topa_only:
+    if use_fused and (topa_only or dense_topa):
         from jax.sharding import PartitionSpec as P
 
         from pytorch_asr_tpu.ops.beam_pallas import (
             prefix_beam_fused_lanes_topa)
         from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
 
+        if dense_topa:
+            fn = lambda lg, ln, tab: prefix_beam_fused_lanes_topa(  # noqa: E731
+                lg, ln, beam_size, blank, max_len, ext_top_a,
+                lm_table=tab, lm_alpha=lm_alpha, lm_beta=lm_beta)
+            fn = maybe_data_shard_map(fn, in_specs=(P("data"), P("data"), P()),
+                                      out_specs=(P("data"),) * 3)
+            return fn(logits, logit_len, lm_table)
         fn = lambda lg, ln: prefix_beam_fused_lanes_topa(  # noqa: E731
             lg, ln, beam_size, blank, max_len, ext_top_a)
         fn = maybe_data_shard_map(fn, in_specs=(P("data"), P("data")),
                                   out_specs=(P("data"),) * 3)
         return fn(logits, logit_len)
+    if use_fused and rnn_topa:
+        from jax.sharding import PartitionSpec as P
+
+        from pytorch_asr_tpu.ops.beam_pallas import (
+            prefix_beam_fused_lanes_topa_rnn)
+        from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
+
+        fn = lambda lg, ln, pp: prefix_beam_fused_lanes_topa_rnn(  # noqa: E731
+            lg, ln, rnn_lm, pp, beam_size, blank, max_len, ext_top_a,
+            lm_alpha=lm_alpha, lm_beta=lm_beta, sos_id=sos_id)
+        fn = maybe_data_shard_map(
+            fn, in_specs=(P("data"), P("data"),
+                          jax.tree.map(lambda _: P(), rnn_lm_params)),
+            out_specs=(P("data"),) * 3)
+        return fn(logits, logit_len, rnn_lm_params)
     if use_fused and (no_lm or dense_only):
         from jax.sharding import PartitionSpec as P
 

@@ -370,6 +370,11 @@ def _absorb(hsh, alive, ext_hash, ext_pnb, c_flat, blank: int, K: int,
         s = jnp.sum(jnp.exp(vals3 - mx[:, :, None]), axis=2)
         add = jnp.where(mx > NEG_INF / 2, mx + jnp.log(s), NEG_INF)
         return add, jnp.any(m3, axis=1)
+    if ROLLED_INNER:
+        B = hsh.shape[0]
+        kf = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+        return _absorb_rolled(hsh, alive, ext_hash, ext_pnb, c_flat, blank,
+                              K, kf)
     abs_m = c_flat < 0                                          # all-False
     add_cols = []
     for k2 in range(K):
@@ -385,6 +390,95 @@ def _absorb(hsh, alive, ext_hash, ext_pnb, c_flat, blank: int, K: int,
 
 
 ABSORB_RANK3 = False
+
+# Rolled inner loops (round 5, the Mosaic COMPILE-TIME axis): when True the
+# K-round top-K selection and the K-target absorb run as lax.fori_loop
+# bodies (one traced body instead of K unrolled copies), shrinking the
+# kernel IR ~K-fold at the cost of loop carries.  Same math, bit-identical
+# selection.  See the measured compile/runtime study in the module
+# docstring before flipping the default.
+ROLLED_INNER = False
+
+
+def _absorb_rolled(hsh, alive, ext_hash, ext_pnb, c_flat, blank: int,
+                   K: int, kf):
+    """lax.fori_loop form of _absorb: one traced body, K iterations.
+    Per-target stay fields are extracted by masked lane reductions (dynamic
+    lane slicing is unsupported in Mosaic)."""
+    B = hsh.shape[0]
+    alive_i = jnp.where(alive, 1, 0)
+
+    def body(k2, carry):
+        add_acc, abs_m = carry
+        col = kf == k2                                      # (B, K)
+        h_k2 = jnp.sum(jnp.where(col, hsh, 0), axis=1, keepdims=True)
+        a_k2 = jnp.sum(jnp.where(col, alive_i, 0), axis=1,
+                       keepdims=True) > 0
+        m = ((ext_hash == h_k2) & (c_flat >= 1) & (c_flat != blank) & a_k2)
+        vals = jnp.where(m, ext_pnb, NEG_INF)
+        mx = jnp.max(vals, axis=1)
+        s = jnp.sum(jnp.exp(vals - mx[:, None]), axis=1)
+        add_col = jnp.where(mx > NEG_INF / 2, mx + jnp.log(s), NEG_INF)
+        return (jnp.where(col, add_col[:, None], add_acc), abs_m | m)
+
+    add0 = jnp.full((B, K), NEG_INF)
+    abs0 = c_flat < 0                                       # all-False
+    return jax.lax.fori_loop(0, K, body, (add0, abs0))
+
+
+def _paired_topk_select_rolled(K, kf, flat_idx, stay_score, ext_score,
+                               c_flat, par_flat, fields):
+    """lax.fori_loop form of _paired_topk_select: one traced round body,
+    K iterations, per-round results written into (B, K) accumulator columns
+    by iota masks.  Selection order and tie-breaking identical."""
+    B, N = ext_score.shape
+
+    def body(r, carry):
+        work_s, work_e, par_a, app_a, sc_a, f_accs = carry
+        bs = jnp.max(work_s, axis=1)
+        be = jnp.max(work_e, axis=1)
+        is_stay = bs >= be
+        s_idx = jnp.min(jnp.where(work_s == bs[:, None], kf, K), axis=1)
+        e_idx = jnp.min(jnp.where(work_e == be[:, None], flat_idx, N),
+                        axis=1)
+        m_s = kf == s_idx[:, None]
+        m_e = flat_idx == e_idx[:, None]
+
+        def exs(x, kind):
+            if kind == "f":
+                return jnp.max(jnp.where(m_s, x, NEG_INF), axis=1)
+            return jnp.min(jnp.where(m_s, x, _I32_BIG), axis=1)
+
+        def exe(x, kind):
+            if kind == "f":
+                return jnp.max(jnp.where(m_e, x, NEG_INF), axis=1)
+            return jnp.min(jnp.where(m_e, x, _I32_BIG), axis=1)
+
+        col = kf == r
+        par_r = jnp.where(is_stay, s_idx, exe(par_flat, "i"))
+        app_r = jnp.where(is_stay, -1, exe(c_flat, "i"))
+        new_f = []
+        for acc, (st, ex, kind) in zip(f_accs, fields):
+            e_val = (jnp.full_like(bs, NEG_INF) if ex is None
+                     else exe(ex, kind))
+            v = jnp.where(is_stay, exs(st, kind), e_val)
+            new_f.append(jnp.where(col, v[:, None], acc))
+        return (jnp.where(m_s & is_stay[:, None], NEG_INF, work_s),
+                jnp.where(m_e & (~is_stay)[:, None], NEG_INF, work_e),
+                jnp.where(col, par_r[:, None], par_a),
+                jnp.where(col, app_r[:, None], app_a),
+                jnp.where(col, jnp.maximum(bs, be)[:, None], sc_a),
+                tuple(new_f))
+
+    f0 = tuple(
+        jnp.zeros((B, K), jnp.float32 if kind == "f" else jnp.int32)
+        for _, _, kind in fields)
+    init = (stay_score, ext_score, jnp.zeros((B, K), jnp.int32),
+            jnp.zeros((B, K), jnp.int32), jnp.zeros((B, K), jnp.float32),
+            f0)
+    (_, _, parent, append, top_score, f_accs) = jax.lax.fori_loop(
+        0, K, body, init)
+    return parent, append, top_score, list(f_accs)
 
 
 def _paired_topk_select(K, kf, flat_idx, stay_score, ext_score, c_flat,
@@ -403,6 +497,10 @@ def _paired_topk_select(K, kf, flat_idx, stay_score, ext_score, c_flat,
     Returns (parent, append, top_score, selected) with every output
     (B, K) and ``selected`` ordered like ``fields``.
     """
+    if ROLLED_INNER:
+        return _paired_topk_select_rolled(K, kf, flat_idx, stay_score,
+                                          ext_score, c_flat, par_flat,
+                                          fields)
     N = ext_score.shape[1]
     work_s, work_e = stay_score, ext_score
     sp, sa, ss = [], [], []
@@ -744,19 +842,25 @@ def _gather_rows_topa(rows_bk, ti_t, B: int, K: int, A: int, V: int):
     return jnp.concatenate(lane_cols, axis=1)                      # (B, K*A)
 
 
-def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref,
+def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref, lm_ref,
                             par_out, app_out, score_out, len_out,
                             pb_sc, pnb_sc, hash_sc, last_sc, length_sc,
+                            lms_sc, ctx_sc,
                             *, tc: int, K: int, A: int, V: int, L: int,
-                            blank: int):
+                            blank: int, lm: bool, n_ctx: int,
+                            lm_alpha: float, lm_beta: float):
     ic = pl.program_id(0)
     B = len_ref.shape[0]
+    BK = B * K
     KA = K * A
     kf = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
     par_flat = jnp.concatenate(
         [jnp.full((B, A), k, jnp.int32) for k in range(K)], axis=1)
     flat_idx = jax.lax.broadcasted_iota(jnp.int32, (B, KA), 1)  # k*A + a
+    if lm:
+        lm_tab = lm_ref[:]                                 # (n_ctx, V)
+        iota_ctx = jax.lax.broadcasted_iota(jnp.int32, (BK, n_ctx), 1)
 
     @pl.when(ic == 0)
     def _():
@@ -765,6 +869,8 @@ def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref,
         hash_sc[:] = -(kf + 1)
         last_sc[:] = jnp.full((B, K), -1, jnp.int32)
         length_sc[:] = jnp.zeros((B, K), jnp.int32)
+        lms_sc[:] = jnp.zeros((B, K), jnp.float32)
+        ctx_sc[:] = jnp.zeros((B, K), jnp.int32)
 
     lens = len_ref[:]                                          # (B, 1)
 
@@ -777,6 +883,7 @@ def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref,
         lp_flat = jnp.concatenate([top_val] * K, axis=1)
         pb, pnb = pb_sc[:], pnb_sc[:]
         hsh, last, length = hash_sc[:], last_sc[:], length_sc[:]
+        lms, ctx = lms_sc[:], ctx_sc[:]
         total = jnp.logaddexp(pb, pnb)
 
         # ---- stay candidates (B, K): full-vocab gathers (last may lie
@@ -798,26 +905,55 @@ def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref,
         ext_pnb = jnp.where(c_flat == blank, NEG_INF, ext_pnb)
         ext_hash = _expand_beam_field(hsh, K, A) * HASH_MULT + c_flat
 
+        # ---- dense-table fusion on the restricted candidates (round 5):
+        # per-beam table rows by ONE b-major (BK, n_ctx) one-hot MXU
+        # matmul, then the shared candidate-lane gather.  MXU-gather cost
+        # scales with BK*n_ctx*V -- the dispatch gates the table to
+        # VMEM-safe sizes; larger (hashed) tables are the recorded
+        # refutation (HBM-resident, no Mosaic gather) ---------------------
+        if lm:
+            ctx_bk = _field_to_bk(ctx, B, K).astype(jnp.int32)
+            rows_bk = _dot2((iota_ctx == ctx_bk).astype(jnp.float32),
+                            lm_tab)                            # (BK, V)
+            rows_flat = _gather_rows_topa(rows_bk, top_idx, B, K, A, V)
+            ext_lm = _expand_beam_field(lms, K, A) \
+                + (lm_alpha * rows_flat + lm_beta)
+            # floored mod (scan's `%`), exact even under int32 wraparound
+            raw = _expand_beam_field(ctx, K, A) * V + c_flat
+            r = jax.lax.rem(raw, jnp.int32(n_ctx))
+            ctx_lane = jnp.where(r < 0, r + n_ctx, r)          # (B, KA)
+
         # ---- hash absorption (direct equality == the sparse merge) -----
         alive = jnp.logaddexp(stay_pb, stay_pnb) > NEG_INF / 2
         add, abs_m = _absorb(hsh, alive, ext_hash, ext_pnb, c_flat, blank, K,
                              rank3=ABSORB_RANK3)
         stay_pnb_m = jnp.logaddexp(stay_pnb, add)
 
-        stay_score = jnp.logaddexp(stay_pb, stay_pnb_m)
-        ext_score = jnp.where(abs_m, NEG_INF, ext_pnb)
+        if lm:
+            stay_score = jnp.logaddexp(stay_pb, stay_pnb_m) + lms
+            ext_score = jnp.where(abs_m, NEG_INF, ext_pnb + ext_lm)
+        else:
+            stay_score = jnp.logaddexp(stay_pb, stay_pnb_m)
+            ext_score = jnp.where(abs_m, NEG_INF, ext_pnb)
 
         # ---- top-K: K rounds of paired argmax --------------------------
+        fields = [(stay_pb, None, "f"), (stay_pnb_m, ext_pnb, "f"),
+                  (hsh, ext_hash, "i"), (last, c_flat, "i"),
+                  (length, len_f + 1, "i")]
+        if lm:
+            fields += [(lms, ext_lm, "f"), (ctx, ctx_lane, "i")]
         parent, append, top_score, picked = _paired_topk_select(
-            K, kf, flat_idx, stay_score, ext_score, c_flat, par_flat,
-            [(stay_pb, None, "f"), (stay_pnb_m, ext_pnb, "f"),
-             (hsh, ext_hash, "i"), (last, c_flat, "i"),
-             (length, len_f + 1, "i")])
-        g_pb, g_pnb, g_hash, new_last, new_len = picked
+            K, kf, flat_idx, stay_score, ext_score, c_flat, par_flat, fields)
+        if lm:
+            (g_pb, g_pnb, g_hash, new_last, new_len,
+             new_lms, new_ctx) = picked
+        else:
+            g_pb, g_pnb, g_hash, new_last, new_len = picked
         dead = top_score <= NEG_INF / 2
         new_pb = jnp.where(dead, NEG_INF, g_pb)
         new_pnb = jnp.where(dead, NEG_INF, g_pnb)
         new_hash = jnp.where(dead, -(kf + 1), g_hash)
+        # new_lms/new_ctx: no dead reset (scan parity)
 
         # ---- freeze rows past their length; record backpointers --------
         act = t < lens
@@ -826,10 +962,16 @@ def _beam_kernel_lanes_topa(logp_ref, tv_ref, ti_ref, len_ref,
         hash_sc[:] = jnp.where(act, new_hash, hsh)
         last_sc[:] = jnp.where(act, new_last, last)
         length_sc[:] = jnp.where(act, new_len, length)
+        if lm:
+            lms_sc[:] = jnp.where(act, new_lms, lms)
+            ctx_sc[:] = jnp.where(act, new_ctx, ctx)
         par_out[j] = jnp.where(act, parent, kf)
         app_out[j] = jnp.where(act, append, -1)
 
-    score_out[:] = jnp.logaddexp(pb_sc[:], pnb_sc[:])
+    if lm:
+        score_out[:] = jnp.logaddexp(pb_sc[:], pnb_sc[:]) + lms_sc[:]
+    else:
+        score_out[:] = jnp.logaddexp(pb_sc[:], pnb_sc[:])
     len_out[:] = length_sc[:]
 
 
@@ -1103,8 +1245,10 @@ def prefix_beam_fused_lanes_topa_rnn(logits, logit_len, rnn_lm,
 
 def prefix_beam_fused_lanes_topa(logits, logit_len, beam_size: int = 16,
                                  blank: int = 0, max_len: int = 256,
-                                 top_a: int = 128):
-    """Restricted-candidate lane kernel for large vocabs (no LM fusion).
+                                 top_a: int = 128, lm_table=None,
+                                 lm_alpha: float = 0.0,
+                                 lm_beta: float = 0.0):
+    """Restricted-candidate lane kernel for large vocabs.
 
     The exact search of decoding.prefix_beam.prefix_beam_search(
     ext_top_a=top_a, use_fused=False): per frame, extension candidates are
@@ -1113,12 +1257,27 @@ def prefix_beam_fused_lanes_topa(logits, logit_len, beam_size: int = 16,
     stay path gathers from).  K*A candidate lanes keep BPE vocabs inside
     the <= 2048-lane regime where the flat layout wins.
 
+    ``lm_table`` (n_ctx, V) adds dense n-gram shallow fusion INSIDE the
+    kernel (round 5): the table is VMEM-resident for the whole decode,
+    per-beam rows are gathered by one b-major (B*K, n_ctx) one-hot MXU
+    matmul, candidate scores by the shared lane gather (_gather_rows_topa)
+    -- the fused BPE n-gram route the full-vocab lane layout cannot serve
+    (refuted at K*V = 16384 lanes).  Matches prefix_beam_search(
+    lm_table=..., ext_top_a=top_a, use_fused=False) exactly.
+
     Returns (tokens (B, L), lengths (B,), scores (B,)).
     """
     B, T, V = logits.shape
     K, L, A = beam_size, max_len, int(top_a)
     if A >= V:
         raise ValueError(f"top_a {A} must be < vocab {V}")
+    use_lm = lm_table is not None
+    if use_lm:
+        if lm_table.shape[1] != V:
+            raise ValueError(f"lm_table {lm_table.shape} vs vocab {V}")
+        tab = lm_table.astype(jnp.float32)
+    else:
+        tab = jnp.zeros((1, V), jnp.float32)                  # dummy ref
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     tc = TIME_CHUNK
     t_pad = _round_up(T, tc)
@@ -1129,7 +1288,9 @@ def prefix_beam_fused_lanes_topa(logits, logit_len, beam_size: int = 16,
     tv_tba = jnp.swapaxes(top_val, 0, 1)
     ti_tba = jnp.swapaxes(top_idx, 0, 1).astype(jnp.int32)
     kern = functools.partial(_beam_kernel_lanes_topa, tc=tc, K=K, A=A, V=V,
-                             L=L, blank=blank)
+                             L=L, blank=blank, lm=use_lm,
+                             n_ctx=tab.shape[0], lm_alpha=float(lm_alpha),
+                             lm_beta=float(lm_beta))
     parents, appends, scores, lengths = pl.pallas_call(
         kern,
         grid=(n_chunks,),
@@ -1138,6 +1299,7 @@ def prefix_beam_fused_lanes_topa(logits, logit_len, beam_size: int = 16,
             pl.BlockSpec((tc, B, A), lambda i: (i, 0, 0)),
             pl.BlockSpec((tc, B, A), lambda i: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),        # logit_len (B, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # lm table
         ],
         out_specs=[
             pl.BlockSpec((tc, B, K), lambda i: (i, 0, 0)),
@@ -1157,11 +1319,13 @@ def prefix_beam_fused_lanes_topa(logits, logit_len, beam_size: int = 16,
             pltpu.VMEM((B, K), jnp.int32),                # rolling hash
             pltpu.VMEM((B, K), jnp.int32),                # last char
             pltpu.VMEM((B, K), jnp.int32),                # lengths
+            pltpu.VMEM((B, K), jnp.float32),              # accumulated lm
+            pltpu.VMEM((B, K), jnp.int32),                # lm context id
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=pallas_interpret(),
-    )(logp_tbv, tv_tba, ti_tba, logit_len.astype(jnp.int32)[:, None])
+    )(logp_tbv, tv_tba, ti_tba, logit_len.astype(jnp.int32)[:, None], tab)
     best = jnp.argmax(scores, axis=1)                          # (B,)
     tokens = _backtrace(parents, appends, best, L)
     final_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]

@@ -105,6 +105,65 @@ def test_lanes_beam_dense_lm_matches_xla_beam(seed, n_ctx_pow):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("seed,A,n_ctx_pow", [(0, 8, 2), (1, 16, 1), (4, 8, 2)])
+def test_lanes_topa_dense_lm_matches_restricted_scan(seed, A, n_ctx_pow):
+    """Dense+top-A fused route (round 5): the restricted lane kernel with a
+    VMEM-resident dense table vs the scan's lm_table + ext_top_a search."""
+    rng = np.random.default_rng(seed)
+    B, T, V, K, L = 2, 16, 32, 8, 20
+    n_ctx = V ** n_ctx_pow
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 5], np.int32)
+    tab = rng.normal(size=(n_ctx, V)).astype(np.float32)
+    tab = jnp.asarray(tab - np.log(np.exp(tab).sum(axis=1, keepdims=True)))
+    tk, lk, sk = prefix_beam_fused_lanes_topa(
+        logits, lens, beam_size=K, max_len=L, top_a=A, lm_table=tab,
+        lm_alpha=0.4, lm_beta=1.2)
+    tx, lx, sx = prefix_beam_search(
+        logits, lens, beam_size=K, max_len=L, ext_top_a=A, lm_table=tab,
+        lm_alpha=0.4, lm_beta=1.2, use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-5,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("seed,A,nl", [(0, 8, 1), (1, 8, 2), (3, 16, 2)])
+def test_lanes_topa_rnn_matches_restricted_scan(seed, A, nl):
+    """In-kernel RNN-LM fusion (round 5): the restricted lane kernel with
+    the neural LM advanced INSIDE the kernel vs the scan's ext_top_a +
+    rnn_lm search -- token + length equality, score parity."""
+    from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
+    from pytorch_asr_tpu.ops.beam_pallas import (
+        prefix_beam_fused_lanes_topa_rnn)
+
+    rng = np.random.default_rng(seed)
+    B, T, V, K, L = 2, 14, 32, 8, 20
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 5], np.int32)
+    rnn = CharRNNLM(RNNLMConfig(embed_dim=8, hidden_dim=16, num_layers=nl),
+                    vocab_size=V)
+    params = rnn.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, 4), jnp.int32))["params"]
+    tk, lk, sk = prefix_beam_fused_lanes_topa_rnn(
+        logits, lens, rnn, params, beam_size=K, max_len=L, top_a=A,
+        lm_alpha=0.4, lm_beta=0.7, sos_id=29)
+    tx, lx, sx = prefix_beam_search(
+        logits, lens, beam_size=K, max_len=L, ext_top_a=A, rnn_lm=rnn,
+        rnn_lm_params=params, lm_alpha=0.4, lm_beta=0.7, sos_id=29,
+        use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_lanes_beam_blank_dominated_gives_empty():
     B, T, V = 1, 12, 32
     logits = np.full((B, T, V), -8.0, np.float32)
@@ -159,6 +218,69 @@ def test_ext_top_a_geq_vocab_is_unrestricted_not_kernel():
                                    use_fused=False)
     np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
     np.testing.assert_array_equal(np.asarray(tk), np.asarray(tx))
+
+
+def test_rolled_inner_loops_match_scan():
+    """ROLLED_INNER=True (fori_loop top-K rounds + absorb, the round-5
+    compile-time study) must select identically to the unrolled body."""
+    from pytorch_asr_tpu.ops import beam_pallas as bp
+
+    rng = np.random.default_rng(11)
+    B, T, V, K, L = 2, 14, 32, 8, 20
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 4], np.int32)
+    old = bp.ROLLED_INNER
+    bp.ROLLED_INNER = True
+    try:
+        tk, lk, sk = prefix_beam_fused_lanes(logits, lens, beam_size=K,
+                                             max_len=L)
+        ta, la, sa = prefix_beam_fused_lanes_topa(logits, lens, beam_size=K,
+                                                  max_len=L, top_a=8)
+    finally:
+        bp.ROLLED_INNER = old
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-5)
+    ty, ly, sy = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    ext_top_a=8, use_fused=False)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(ly))
+    for b in range(B):
+        n = int(la[b])
+        np.testing.assert_array_equal(np.asarray(ta)[b, :n],
+                                      np.asarray(ty)[b, :n])
+
+
+def test_forced_fused_dispatch_rnn_and_dense_topa():
+    """prefix_beam_search(use_fused=True) must route the new round-5
+    combinations (rnn_lm + ext_top_a, lm_table + ext_top_a) through the
+    lane kernels and match the scan token-for-token."""
+    from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
+
+    rng = np.random.default_rng(7)
+    B, T, V, K, L, A = 2, 12, 32, 4, 16, 8
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 4], np.int32)
+    rnn = CharRNNLM(RNNLMConfig(embed_dim=8, hidden_dim=16, num_layers=1),
+                    vocab_size=V)
+    params = rnn.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 4), jnp.int32))["params"]
+    tab = rng.normal(size=(V, V)).astype(np.float32)
+    tab = jnp.asarray(tab - np.log(np.exp(tab).sum(axis=1, keepdims=True)))
+    for kw in ({"rnn_lm": rnn, "rnn_lm_params": params},
+               {"lm_table": tab}):
+        tk, lk, _ = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                       ext_top_a=A, lm_alpha=0.3, lm_beta=0.5,
+                                       use_fused=True, **kw)
+        tx, lx, _ = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                       ext_top_a=A, lm_alpha=0.3, lm_beta=0.5,
+                                       use_fused=False, **kw)
+        np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+        np.testing.assert_array_equal(np.asarray(tk), np.asarray(tx))
 
 
 def test_fused_falls_back_when_batch_indivisible_by_data_axis():
