@@ -45,7 +45,7 @@ def ctc_bilstm_dev1h() -> ExperimentConfig:
                         auto_buckets=6),
         model=ModelConfig(encoder=BiLSTMEncoderConfig(hidden_dim=384, num_layers=3),
                           ctc_weight=1.0),
-        decode=DecodeConfig(method="greedy"),
+        decode=DecodeConfig(method="greedy", auto_buckets=14),
     )
 
 
@@ -57,7 +57,7 @@ def ctc_bilstm_beam_lm() -> ExperimentConfig:
                         auto_buckets=6),
         model=ModelConfig(encoder=BiLSTMEncoderConfig(), ctc_weight=1.0),
         decode=DecodeConfig(method="prefix_beam", beam_size=16,
-                            lm_alpha=0.5, lm_beta=1.0),
+                            lm_alpha=0.5, lm_beta=1.0, auto_buckets=14),
     )
 
 
@@ -68,7 +68,8 @@ def tcn_ctc_devclean() -> ExperimentConfig:
         data=DataConfig(split="dev-clean", batch_size=16, sortagrad=True,
                         auto_buckets=6),
         model=ModelConfig(encoder=TCNEncoderConfig(), ctc_weight=1.0),
-        decode=DecodeConfig(method="prefix_beam", beam_size=16),
+        decode=DecodeConfig(method="prefix_beam", beam_size=16,
+                            auto_buckets=14),
     )
 
 
@@ -81,7 +82,8 @@ def las_attention() -> ExperimentConfig:
         model=ModelConfig(encoder=BiLSTMEncoderConfig(),
                           decoder=LASDecoderConfig(),
                           ctc_weight=0.0),
-        decode=DecodeConfig(method="attention_beam", beam_size=8),
+        decode=DecodeConfig(method="attention_beam", beam_size=8,
+                            auto_buckets=14),
     )
 
 
@@ -96,7 +98,8 @@ def joint_ctc_attention_960h() -> ExperimentConfig:
                           decoder=LASDecoderConfig(),
                           ctc_weight=0.3),
         train=TrainConfig(optim=OptimConfig(total_steps=300_000)),
-        decode=DecodeConfig(method="joint_beam", beam_size=16, joint_ctc_weight=0.3),
+        decode=DecodeConfig(method="joint_beam", beam_size=16, joint_ctc_weight=0.3,
+                            auto_buckets=14),
     )
 
 

@@ -219,6 +219,14 @@ class DecodeConfig:
     # _build_candidates_topa).  0 = unrestricted.  Measured RTF 0.0030 vs
     # 0.0179 exact-unrestricted at V=1024 B=16 K=16 on v5e.
     ext_top_a: int = 0
+    # Decode-side bucket ladder (round 5): > 0 re-buckets the eval corpus
+    # with a DP-optimal K-bucket ladder for DECODING ONLY.  Decode batches
+    # never feed the train step, so K can be much larger than
+    # data.auto_buckets without any train-step recompiles -- dev/test
+    # profiles are longer-tailed than train (K=6 -> 0.79 padding
+    # efficiency; K=14 recovers >= 0.9, bucket_ladder_study).  0 = reuse
+    # the training ladder.
+    auto_buckets: int = 0
     # attention/joint beam
     max_decode_len: int = 256
     length_norm: float = 1.0

@@ -188,10 +188,11 @@ def decode_dataset(trainer, max_batches: int | None = None,
     decode_fn = make_decode_fn(trainer, lm_table, rnn_lm, rnn_lm_params,
                                hash_lm)
     tok = trainer.tokenizer
+    eval_ds, pad_eff = _decode_dataset_with_ladder(trainer)
     refs, hyps = [], []
     audio_sec = 0.0
     t0 = time.perf_counter()
-    for i, host_batch in enumerate(trainer.eval_dataset.epoch_batches(seed=0)):
+    for i, host_batch in enumerate(eval_ds.epoch_batches(seed=0)):
         if max_batches is not None and i >= max_batches:
             break
         batch = shard_batch_global(trainer.mesh, host_batch)
@@ -212,5 +213,37 @@ def decode_dataset(trainer, max_batches: int | None = None,
     result = {"method": cfg.decode.method,
               **reduce_decode_metrics(refs, hyps, audio_sec, dt),
               "step": int(trainer.state.step)}
+    if pad_eff is not None:
+        result["padding_efficiency_decode"] = pad_eff
     trainer.metrics.log("decode", **result)
     return result
+
+
+def _decode_dataset_with_ladder(trainer):
+    """Decode-side bucket ladder (SURVEY §7.3; VERDICT r4 item 8).
+
+    Dev/test length profiles are longer-tailed than train, and decode
+    batches never feed the train step, so the decode loop may use a much
+    finer DP-optimal ladder (cfg.decode.auto_buckets, typically 12-16) at
+    zero train-recompile cost -- only one decode-fn compile per bucket.
+    Returns (dataset, padding_efficiency | None).
+    """
+    cfg = trainer.cfg
+    n = int(getattr(cfg.decode, "auto_buckets", 0) or 0)
+    base = trainer.eval_dataset
+    if n <= 0:
+        return base, None
+    from pytorch_asr_tpu.data import (
+        BucketedDataset, corpus_audio_lengths, corpus_transcripts)
+    from pytorch_asr_tpu.data.bucket_opt import (
+        optimize_buckets, padding_efficiency)
+
+    corpus = base._corpus
+    tok = trainer.tokenizer
+    audio_lens = corpus_audio_lengths(corpus)
+    label_lens = [len(tok.encode(t)) for t in corpus_transcripts(corpus)]
+    audio_b, label_b = optimize_buckets(audio_lens, label_lens, n)
+    ds = BucketedDataset(corpus, batch_size=base.batch_size,
+                         bucket_audio_lens=audio_b,
+                         bucket_label_lens=label_b, tokenizer=tok)
+    return ds, padding_efficiency(audio_lens, audio_b)

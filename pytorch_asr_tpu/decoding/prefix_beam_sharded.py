@@ -68,6 +68,20 @@ def prefix_beam_search_sharded(
     collectives" of the BASELINE north star.
     """
     n_model = mesh.shape["model"]
+    if n_model == 1:
+        # No beam axis to shard over: delegate to the single-device search
+        # under the mesh, where the round-4/5 fused lane kernels dispatch
+        # per data shard (shard_beams=true no longer forfeits the fused win
+        # on a pure data mesh -- VERDICT r4 item 3).
+        from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+        from pytorch_asr_tpu.parallel.mesh import use_mesh
+
+        with use_mesh(mesh):
+            return prefix_beam_search(
+                logits, logit_len, beam_size=beam_size, blank=blank,
+                lm_table=lm_table, lm_alpha=lm_alpha, lm_beta=lm_beta,
+                max_len=max_len, rnn_lm=rnn_lm,
+                rnn_lm_params=rnn_lm_params, sos_id=sos_id, hash_lm=hash_lm)
     if beam_size % n_model != 0:
         raise ValueError(f"beam_size {beam_size} not divisible by model axis {n_model}")
     K, L = beam_size, max_len

@@ -769,6 +769,134 @@ def prefix_beam_fused_lanes(logits, logit_len, beam_size: int = 16,
 
 
 # ---------------------------------------------------------------------------
+# STUDY (round 5, VERDICT r4 item 3): the lane search split into ONE
+# pallas_call PER FRAME with beam state carried through HBM.  This is the
+# structure any beam-sharded fused step is forced into -- the sharded
+# search's per-frame all_gather merge boundary (prefix_beam_sharded.py)
+# means a monolithic whole-utterance kernel cannot span the mesh, so the
+# best case for "fused under the sharded beam" is a per-frame kernel with
+# state round-tripping HBM between launches (a real sharded step then ADDS
+# the ICI exchange on top).  Measuring this stand-in against the monolithic
+# kernel and the XLA scan decides the routing question with data.
+# ---------------------------------------------------------------------------
+
+
+def _beam_kernel_lanes_onestep(logp_ref, pb_ref, pnb_ref, hash_ref,
+                               last_ref, length_ref, act_ref,
+                               npb_out, npnb_out, nhash_out, nlast_out,
+                               nlen_out, par_out, app_out,
+                               *, K: int, V: int, L: int, blank: int):
+    B = logp_ref.shape[0]
+    KV = K * V
+    kf = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    c_flat = jnp.concatenate([iota_v] * K, axis=1)
+    par_flat = jnp.concatenate(
+        [jnp.full((B, V), k, jnp.int32) for k in range(K)], axis=1)
+    flat_idx = jax.lax.broadcasted_iota(jnp.int32, (B, KV), 1)
+
+    logp_t = logp_ref[:]
+    lp_flat = jnp.concatenate([logp_t] * K, axis=1)
+    pb, pnb = pb_ref[:], pnb_ref[:]
+    hsh, last, length = hash_ref[:], last_ref[:], length_ref[:]
+    total = jnp.logaddexp(pb, pnb)
+
+    lp_blank = logp_t[:, blank][:, None]
+    lp_last = jnp.concatenate(
+        [jnp.sum(jnp.where(iota_v == last[:, k:k + 1], logp_t, 0.0),
+                 axis=1)[:, None] for k in range(K)], axis=1)
+    stay_pb = total + lp_blank
+    stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
+
+    is_rep = c_flat == _expand_beam_field(last, K, V)
+    base = jnp.where(is_rep, _expand_beam_field(pb, K, V),
+                     _expand_beam_field(total, K, V))
+    len_f = _expand_beam_field(length, K, V)
+    ext_pnb = base + lp_flat
+    ext_pnb = jnp.where(len_f >= L, NEG_INF, ext_pnb)
+    ext_pnb = jnp.where(c_flat == blank, NEG_INF, ext_pnb)
+    ext_hash = _expand_beam_field(hsh, K, V) * HASH_MULT + c_flat
+
+    alive = jnp.logaddexp(stay_pb, stay_pnb) > NEG_INF / 2
+    add, abs_m = _absorb(hsh, alive, ext_hash, ext_pnb, c_flat, blank, K)
+    stay_pnb_m = jnp.logaddexp(stay_pnb, add)
+    stay_score = jnp.logaddexp(stay_pb, stay_pnb_m)
+    ext_score = jnp.where(abs_m, NEG_INF, ext_pnb)
+
+    parent, append, top_score, picked = _paired_topk_select(
+        K, kf, flat_idx, stay_score, ext_score, c_flat, par_flat,
+        [(stay_pb, None, "f"), (stay_pnb_m, ext_pnb, "f"),
+         (hsh, ext_hash, "i"), (last, c_flat, "i"),
+         (length, len_f + 1, "i")])
+    g_pb, g_pnb, g_hash, new_last, new_len = picked
+    dead = top_score <= NEG_INF / 2
+    new_pb = jnp.where(dead, NEG_INF, g_pb)
+    new_pnb = jnp.where(dead, NEG_INF, g_pnb)
+    new_hash = jnp.where(dead, -(kf + 1), g_hash)
+
+    act = act_ref[:] > 0                                   # (B, 1)
+    npb_out[:] = jnp.where(act, new_pb, pb)
+    npnb_out[:] = jnp.where(act, new_pnb, pnb)
+    nhash_out[:] = jnp.where(act, new_hash, hsh)
+    nlast_out[:] = jnp.where(act, new_last, last)
+    nlen_out[:] = jnp.where(act, new_len, length)
+    par_out[:] = jnp.where(act, parent, kf)
+    app_out[:] = jnp.where(act, append, -1)
+
+
+def prefix_beam_lanes_stepwise(logits, logit_len, beam_size: int = 16,
+                               blank: int = 0, max_len: int = 256):
+    """One pallas_call per frame, state carried through HBM (see the study
+    note above).  Token-identical to prefix_beam_fused_lanes (no LM)."""
+    B, T, V = logits.shape
+    K, L = beam_size, max_len
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp_tbv = jnp.swapaxes(logp, 0, 1)
+    kern = functools.partial(_beam_kernel_lanes_onestep, K=K, V=V, L=L,
+                             blank=blank)
+    call = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K), jnp.float32),    # pb
+            jax.ShapeDtypeStruct((B, K), jnp.float32),    # pnb
+            jax.ShapeDtypeStruct((B, K), jnp.int32),      # hash
+            jax.ShapeDtypeStruct((B, K), jnp.int32),      # last
+            jax.ShapeDtypeStruct((B, K), jnp.int32),      # length
+            jax.ShapeDtypeStruct((B, K), jnp.int32),      # parent
+            jax.ShapeDtypeStruct((B, K), jnp.int32),      # append
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )
+    kf = jnp.arange(K, dtype=jnp.int32)[None, :] * jnp.ones((B, 1), jnp.int32)
+    state0 = (jnp.where(kf == 0, 0.0, NEG_INF).astype(jnp.float32),
+              jnp.full((B, K), NEG_INF, jnp.float32),
+              -(kf + 1),
+              jnp.full((B, K), -1, jnp.int32),
+              jnp.zeros((B, K), jnp.int32))
+
+    def scan_fn(carry, inp):
+        t, logp_t = inp
+        act = (t < logit_len).astype(jnp.int32)[:, None]
+        pb, pnb, hsh, last, ln = carry
+        npb, npnb, nh, nl, nln, par, app = call(
+            logp_t, pb, pnb, hsh, last, ln, act)
+        return (npb, npnb, nh, nl, nln), (par, app)
+
+    (pb, pnb, _, _, lengths), (parents, appends) = jax.lax.scan(
+        scan_fn, state0, (jnp.arange(T), logp_tbv))
+    scores = jnp.logaddexp(pb, pnb)
+    best = jnp.argmax(scores, axis=1)
+    tokens = _backtrace(parents, appends, best, L)
+    final_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    final_sc = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return tokens, final_len, final_sc
+
+
+# ---------------------------------------------------------------------------
 # Restricted-candidate lane kernel (round 4): ext candidates = the frame's
 # top-A acoustic chars.  Same search as decoding/prefix_beam.py ext_top_a
 # (_build_candidates_topa + sparse merge); parity-tested against it.

@@ -84,10 +84,11 @@ def main() -> None:
                    _build_table(synth_entries(32 * V, 3))),
             backoffs=(_build_table(synth_entries(8 * V, 2)),),
             bi_dense=jnp.asarray(bi))
-        measure("hashed LM ", lambda: pb.prefix_beam_search(
-            logits, lens, beam_size=K, hash_lm=hl,
-            lm_alpha=0.5, lm_beta=1.0, use_fused=False))
-        if V >= 256:
+        if kv.get("hashed", "1") == "1":
+            measure("hashed LM ", lambda: pb.prefix_beam_search(
+                logits, lens, beam_size=K, hash_lm=hl,
+                lm_alpha=0.5, lm_beta=1.0, use_fused=False))
+        if V >= 256 and kv.get("hashed", "1") == "1":
             A = int(kv.get("lm_top_k", 128))
             measure(f"hashed A={A}", lambda: pb.prefix_beam_search(
                 logits, lens, beam_size=K, hash_lm=hl,
@@ -150,6 +151,40 @@ def main() -> None:
         measure(f"lanes topA={A}", lambda: jax.jit(
             prefix_beam_fused_lanes_topa, static_argnums=(2, 3, 4, 5))(
             logits, lens, K, 0, 256, A))
+
+        if kv.get("lm", "1") == "1":
+            # round 5: dense+top-A fused route (VMEM-resident table) and
+            # in-kernel RNN fusion -- the BPE fusion sources, head-to-head
+            # against their restricted scans.
+            n_ctx_t = int(kv.get("n_ctx", 1024))
+            table_t = jnp.asarray(np.log(
+                rng.dirichlet(np.ones(V), size=n_ctx_t)).astype(np.float32))
+            measure(f"scan dense topA={A}", lambda: pb.prefix_beam_search(
+                logits, lens, beam_size=K, lm_table=table_t, lm_alpha=0.5,
+                lm_beta=1.0, ext_top_a=A, use_fused=False))
+            measure(f"lanes dense topA={A} n_ctx={n_ctx_t}",
+                    lambda: jax.jit(
+                        prefix_beam_fused_lanes_topa,
+                        static_argnums=(2, 3, 4, 5, 7, 8))(
+                        logits, lens, K, 0, 256, A, table_t, 0.5, 1.0))
+
+            from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
+            from pytorch_asr_tpu.ops.beam_pallas import (
+                prefix_beam_fused_lanes_topa_rnn)
+
+            nl_r = int(kv.get("rnn_layers", 2))
+            rnn_t = CharRNNLM(RNNLMConfig(embed_dim=128, hidden_dim=256,
+                                          num_layers=nl_r), vocab_size=V)
+            rp_t = rnn_t.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 4), jnp.int32))["params"]
+            measure(f"scan rnn topA={A}", lambda: pb.prefix_beam_search(
+                logits, lens, beam_size=K, rnn_lm=rnn_t, rnn_lm_params=rp_t,
+                lm_alpha=0.5, lm_beta=1.0, sos_id=V - 1, ext_top_a=A,
+                use_fused=False))
+            measure(f"lanes rnn topA={A} H=256 nl={nl_r}", lambda: jax.jit(
+                prefix_beam_fused_lanes_topa_rnn,
+                static_argnums=(2, 4, 5, 6, 7, 8, 9, 10))(
+                logits, lens, rnn_t, rp_t, K, 0, 256, A, 0.5, 1.0, V - 1))
 
     # ---- merge+topk alone (scan over the same candidate work) --------------
     state = pb._init_state(B, K, 256)

@@ -100,11 +100,63 @@ def main() -> None:
               f"p50-RTT {max(0.0, p50 - rtt) * 1e3:5.1f} ms  "
               f"streaming RTF {rtf:.4f}")
 
+    # ---- DEVICE-side per-chunk compute (round 5, VERDICT r4 item 7) -------
+    # An in-jit lax.scan over pre-staged chunks, fetching ONE scalar: the
+    # two-point method (N1 vs N2 chunks, slope) measures pure device+XLA
+    # per-chunk cost with the tunnel completely out of the number --
+    # replacing the derived "p50 minus RTT" estimate with a measurement.
+    from functools import partial as _partial
+
+    from pytorch_asr_tpu.decoding.streaming import (_stream_step,
+                                                    init_stream_state)
+
+    def run_device(mode, block_frames, n1=8, n2=40, **lm_kw):
+        rnn_l = lm_kw.get("rnn_lm")
+        rnn_p = lm_kw.get("rnn_lm_params")
+        static = (cfg, block_frames, rnn_l, lm_kw.get("lm_alpha", 0.0),
+                  0.0, 0, 0)
+        state0 = init_stream_state(cfg, B, beam=(mode == "beam"),
+                                   rnn_lm=rnn_l, rnn_lm_params=rnn_p,
+                                   sos_id=lm_kw.get("sos_id"))
+        need = (block_frames - 1) * fe.hop_length + fe.win_length
+        chunks = jnp.asarray(
+            rng.normal(size=(n2, B, need)).astype(np.float32) * 0.1)
+        nf = jnp.full((B,), block_frames, jnp.int32)
+
+        @_partial(jax.jit, static_argnums=(0,))
+        def run_n(n, state, chunks, params, rnn_p):
+            def body(st, smp):
+                st2, _, n_ids = _stream_step(static, params, st, smp, nf,
+                                             rnn_lm_params=rnn_p)
+                return st2, n_ids
+            _, nids = jax.lax.scan(body, state, chunks[:n])
+            return nids.sum()
+
+        def timed(n):
+            int(run_n(n, state0, chunks, params, rnn_p))   # compile+warm
+            t0 = time.perf_counter()
+            for _ in range(5):
+                int(run_n(n, state0, chunks, params, rnn_p))
+            return (time.perf_counter() - t0) / 5
+
+        per_chunk = (timed(n2) - timed(n1)) / (n2 - n1)
+        chunk_sec = block_frames * fe.hop_length / fe.sample_rate
+        name = mode + ("+rnnlm" if lm_kw.get("rnn_lm") is not None else "")
+        print(f"device-only {name:12s} block={block_frames:3d}: "
+              f"{per_chunk * 1e3:6.2f} ms/chunk  "
+              f"(device RTF {per_chunk / chunk_sec:.4f})")
+
     for bf in blocks:
         run("greedy", bf)
         run("beam", bf)
         run("beam", bf, rnn_lm=rnn, rnn_lm_params=rnn_params,
             lm_alpha=0.3, sos_id=VOCAB - 2)
+    if kv.get("device", "1") == "1":
+        for bf in blocks:
+            run_device("greedy", bf)
+            run_device("beam", bf)
+            run_device("beam", bf, rnn_lm=rnn, rnn_lm_params=rnn_params,
+                       lm_alpha=0.3, sos_id=VOCAB - 2)
 
 
 if __name__ == "__main__":

@@ -220,6 +220,27 @@ def test_ext_top_a_geq_vocab_is_unrestricted_not_kernel():
     np.testing.assert_array_equal(np.asarray(tk), np.asarray(tx))
 
 
+def test_stepwise_lanes_matches_scan():
+    """The per-frame pallas_call study variant (sharded-fused stand-in)
+    must still be token-identical to the scan."""
+    from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_lanes_stepwise
+
+    rng = np.random.default_rng(5)
+    B, T, V, K, L = 2, 12, 16, 4, 16
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 3], np.int32)
+    tk, lk, sk = prefix_beam_lanes_stepwise(logits, lens, beam_size=K,
+                                            max_len=L)
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-5)
+
+
 def test_rolled_inner_loops_match_scan():
     """ROLLED_INNER=True (fori_loop top-K rounds + absorb, the round-5
     compile-time study) must select identically to the unrolled body."""

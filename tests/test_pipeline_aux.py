@@ -121,6 +121,49 @@ def test_checkpoint_dir_mismatch_guard(tmp_path):
     CheckpointManager(cfg, directory=d).close()
 
 
+def test_decode_side_bucket_ladder():
+    """decode.auto_buckets (round 5): the decode loop re-buckets the eval
+    corpus with a finer DP-optimal ladder -- padding efficiency >= 0.9 on a
+    varied-length corpus whose single train bucket is far coarser, with
+    identical corpus WER (bucketing must not change decode results)."""
+    import dataclasses
+
+    from pytorch_asr_tpu.configs import get_config
+    from pytorch_asr_tpu.configs.base import (
+        BiLSTMEncoderConfig, DataConfig, DecodeConfig, FrontendConfig,
+        ModelConfig, OptimConfig, TrainConfig)
+    from pytorch_asr_tpu.data import BucketedDataset, synthetic_corpus
+    from pytorch_asr_tpu.decoding.driver import decode_dataset
+    from pytorch_asr_tpu.training.trainer import Trainer
+
+    cfg = get_config("ctc_bilstm_dev1h")
+    cfg = dataclasses.replace(
+        cfg,
+        frontend=FrontendConfig(use_pallas=False, specaugment=False),
+        data=DataConfig(batch_size=2, bucket_audio_lens=(160000,),
+                        bucket_label_lens=(64,)),
+        model=ModelConfig(encoder=BiLSTMEncoderConfig(
+            conv_channels=(4,), hidden_dim=16, num_layers=1, dropout=0.0,
+            use_pallas=False), compute_dtype="float32"),
+        train=TrainConfig(optim=OptimConfig(warmup_steps=5, total_steps=20)),
+        decode=DecodeConfig(method="prefix_beam", beam_size=2,
+                            max_decode_len=64, auto_buckets=10),
+    )
+    corpus = synthetic_corpus(12, 16000, seed=1, min_words=1, max_words=9)
+    data = BucketedDataset(corpus, batch_size=2,
+                           bucket_audio_lens=cfg.data.bucket_audio_lens,
+                           bucket_label_lens=cfg.data.bucket_label_lens)
+    tr = Trainer(cfg, dataset=data, enable_checkpoints=False)
+    res = decode_dataset(tr)
+    assert res["padding_efficiency_decode"] >= 0.9, res
+    assert res["num_utts"] == 12
+    tr.cfg = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode, auto_buckets=0))
+    res0 = decode_dataset(tr)
+    assert "padding_efficiency_decode" not in res0
+    assert res0["wer"] == res["wer"], (res0, res)
+
+
 def test_decode_dataset_greedy_direct():
     """decode_dataset with method='greedy' works when called directly
     (regression: make_decode_fn only knew the beam methods; the greedy

@@ -43,6 +43,27 @@ def test_sharded_matches_unsharded(model_axis):
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sh), rtol=1e-6)
 
 
+def test_sharded_model_axis_1_delegates_and_matches():
+    """model_axis=1 (pure data mesh): prefix_beam_search_sharded must
+    delegate to the single-device search under the mesh (the route that
+    reaches the fused lane kernels on TPU) and stay token-identical."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(MeshConfig(data_axis=4, model_axis=1),
+                     devices=jax.devices()[:4])
+    rng = np.random.default_rng(2)
+    B, T, V, K = 4, 15, 6, 8
+    logits = _logp(rng, B, T, V)
+    lens = jnp.asarray([T, T - 3, T - 5, 4])
+    t_ref, l_ref, s_ref = prefix_beam_search(logits, lens, beam_size=K,
+                                             max_len=T + 1)
+    t_sh, l_sh, s_sh = prefix_beam_search_sharded(
+        logits, lens, mesh, beam_size=K, max_len=T + 1)
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_sh))
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_sh))
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sh), rtol=1e-6)
+
+
 def test_sharded_with_lm_matches():
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")
