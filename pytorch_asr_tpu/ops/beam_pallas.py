@@ -57,6 +57,34 @@ TWO kernels live here:
     frame's top-A acoustic chars (K*A lanes; the exact same search as the
     scan's ``ext_top_a`` restricted-candidate mode), which puts BPE vocabs
     back in the lane regime where the layout wins.
+
+ROUND 5 -- LM fusion inside the restricted (top-A) kernel.  Both large-
+vocab fusion sources now run entirely in kernel, with all per-beam LM
+state resident in VMEM scratch as b-major (B*K, .) 2-D arrays (row
+r = b*K + k), so every reorder/lookup is rank-2 iota arithmetic plus
+one-hot MXU matmuls -- the layout that sidesteps every Mosaic
+scalarization/reshape limit the round-2 kernel hit:
+
+  * ``prefix_beam_fused_lanes_topa(lm_table=...)`` -- dense n-gram rows
+    gathered per frame by ONE (B*K, n_ctx) one-hot matmul + the shared
+    candidate-lane gather.  Measured v5e B=16 K=16 V=1024 A=128
+    n_ctx=1024 T=1000: 65.4 us/frame vs 502.7 for the like-for-like
+    ext_top_a scan (7.7x) and 170.2 for the full-vocab dense scan (2.6x).
+  * ``prefix_beam_fused_lanes_topa_rnn`` -- the FULL neural-LM step
+    (embed one-hot matmul, LSTM layers, output projection, log-softmax)
+    advances inside the kernel; per-beam (h, c) and logp rows ride
+    scratch, reordered by parent via a (BK, BK) one-hot permutation
+    matmul.  Measured v5e same shape, H=256 E=128 2 layers: 81.8 us/frame
+    vs 501.7 for the ext_top_a + rnn scan (6.1x) and 170.8 for the
+    full-vocab rnn scan (2.1x) -- the BASELINE "device-resident LM state"
+    north star with zero HBM round-trips per frame.
+
+  Hashed backoff tables remain the recorded REFUTATION for in-kernel
+  fusion: they are HBM-resident by design (tens of MB of packed buckets)
+  and a Mosaic gather must be a one-hot contraction whose cost scales
+  with table rows -- at >= 2^17 rows that matmul alone dwarfs the scan's
+  native dynamic gather, so hashed fusion stays on the scan path
+  (lm_top_k / ext_top_a pruning, decoding/lm_hashed.py).
 """
 
 from __future__ import annotations

@@ -281,6 +281,71 @@ def test_lanes_topa_parity_on_tpu():
                                rtol=1e-4, atol=1e-3)
 
 
+def test_lanes_topa_dense_lm_parity_on_tpu():
+    """Dense+top-A fused route (round 5) vs the scan's lm_table + ext_top_a
+    search ON HARDWARE at a BPE-scale vocab: pins the b-major one-hot ctx
+    row gather and the candidate-lane gather in the Mosaic compile."""
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+    from pytorch_asr_tpu.ops.beam_pallas import prefix_beam_fused_lanes_topa
+
+    rng = np.random.default_rng(17)
+    B, T, V, K, L, A = 4, 48, 256, 16, 40, 32
+    n_ctx = 1024
+    logits = jnp.asarray(rng.standard_normal((B, T, V)), jnp.float32)
+    lens = jnp.asarray([T, T - 7, T // 2, T - 1], np.int32)
+    tab = rng.normal(size=(n_ctx, V)).astype(np.float32)
+    tab = jnp.asarray(tab - np.log(np.exp(tab).sum(axis=1, keepdims=True)))
+    tk, lk, sk = jax.jit(
+        prefix_beam_fused_lanes_topa, static_argnums=(2, 3, 4, 5, 7, 8))(
+        logits, lens, K, 0, L, A, tab, 0.5, 1.0)
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    ext_top_a=A, lm_table=tab, lm_alpha=0.5,
+                                    lm_beta=1.0, use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_lanes_topa_rnn_parity_on_tpu():
+    """In-kernel RNN-LM fusion (round 5) vs the scan's rnn_lm + ext_top_a
+    search ON HARDWARE: pins the b-major LM state layout, the one-hot
+    parent-permutation matmul, the in-kernel LSTM step and log-softmax in
+    the Mosaic compile."""
+    from pytorch_asr_tpu.decoding.prefix_beam import prefix_beam_search
+    from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
+    from pytorch_asr_tpu.ops.beam_pallas import (
+        prefix_beam_fused_lanes_topa_rnn)
+
+    rng = np.random.default_rng(19)
+    B, T, V, K, L, A = 4, 48, 256, 16, 40, 32
+    logits = jnp.asarray(rng.standard_normal((B, T, V)), jnp.float32)
+    lens = jnp.asarray([T, T - 7, T // 2, T - 1], np.int32)
+    rnn = CharRNNLM(RNNLMConfig(embed_dim=32, hidden_dim=64, num_layers=2),
+                    vocab_size=V)
+    params = rnn.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 4), jnp.int32))["params"]
+    tk, lk, sk = jax.jit(
+        prefix_beam_fused_lanes_topa_rnn,
+        static_argnums=(2, 4, 5, 6, 7, 8, 9, 10))(
+        logits, lens, rnn, params, K, 0, L, A, 0.4, 0.7, V - 1)
+    tx, lx, sx = prefix_beam_search(logits, lens, beam_size=K, max_len=L,
+                                    ext_top_a=A, rnn_lm=rnn,
+                                    rnn_lm_params=params, lm_alpha=0.4,
+                                    lm_beta=0.7, sos_id=V - 1,
+                                    use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_lanes_beam_dense_lm_parity_on_tpu():
     """In-kernel dense-LM fusion vs the scan-dense path ON HARDWARE: pins
     the one-hot MXU row gathers, lax.rem context roll, and fused-score
