@@ -540,18 +540,19 @@ def prefix_beam_search(
         # validated at (candidate lanes <= 2048).
         is_topa = topa_only or dense_topa or rnn_topa
         lanes = beam_size * (ext_top_a if is_topa else V)
-        # Mosaic compile time grows steeply with the PER-SHARD batch (v5e,
-        # K=16 V=32: ~24 s at B=16, ~124 s at B=32, ~172 s at B=64, while
-        # per-utterance runtime stays flat) -- auto only takes the kernel at
-        # the validated batch; force use_fused=True to accept the one-time
-        # compile at larger batches.  Gate on GLOBAL B (per-shard B under a
-        # data mesh is only smaller), keeping the auto decision a pure
-        # function of shapes+statics -- the jit cache key -- rather than of
-        # the ambient mesh context at trace time.
+        # Batch gate (round 5): past B=16 the kernels auto-switch to ROLLED
+        # inner loops (ops/beam_pallas.py::_use_rolled), which caps Mosaic
+        # compile at ~5 s up to B=64 AND runs faster there (55.5 vs 99.9
+        # us/frame at B=64; the unrolled body's 172 s compile was the old
+        # blocker) -- auto now takes the kernel to B <= 64, the studied
+        # bound; force use_fused=True beyond.  Gate on GLOBAL B (per-shard
+        # B under a data mesh is only smaller), keeping the auto decision a
+        # pure function of shapes+statics -- the jit cache key -- rather
+        # than of the ambient mesh context at trace time.
         use_fused = ((no_lm or dense_only or topa_only or dense_topa
                       or rnn_topa)
                      and jax.default_backend() == "tpu" and lanes <= 2048
-                     and B <= 16)
+                     and B <= 64)
     if use_fused:
         # Under an active data mesh the kernel runs per shard via shard_map,
         # which needs the batch divisible by the data axis; fall back to the

@@ -59,6 +59,7 @@ def prefix_beam_search_sharded(
     rnn_lm_params=None,
     sos_id: int = 29,
     hash_lm=None,                # lm_hashed.HashedNgramLM for large vocabs
+    fused_merge: bool | None = None,
 ):
     """Beam-sharded decode.  beam_size must divide the 'model' axis size.
 
@@ -66,6 +67,16 @@ def prefix_beam_search_sharded(
     beams' (h, c) states, and one ``all_gather`` over 'model' reassembles the
     replicated LM carry -- this is the "LM-fusion state exchanged via ICI
     collectives" of the BASELINE north star.
+
+    ``fused_merge`` (round 5): run the replicated per-frame merge + top-K --
+    the hot loop of this search (~150 of ~164 us/step on v5e) -- as ONE
+    Pallas program (ops/beam_pallas.py::merge_topk_fused) instead of the
+    XLA op soup.  The per-frame kernel structure was measured CHEAP (36 vs
+    the monolithic kernel's 32 us/frame single-device), so beam sharding no
+    longer forfeits the fused-kernel win: the full sharded-search scan
+    measured 46.1 vs 106.8 us/step with the XLA merge (2.3x, v5e B=16 K=16
+    V=32 T=1000, scripts/bench_beam_compile.py merge=1).  None = auto (on
+    TPU).
     """
     n_model = mesh.shape["model"]
     if n_model == 1:
@@ -87,6 +98,8 @@ def prefix_beam_search_sharded(
     K, L = beam_size, max_len
     kl = K // n_model
     use_rnn = rnn_lm is not None
+    if fused_merge is None:
+        fused_merge = jax.default_backend() == "tpu"
 
     def local_fn(logits, logit_len, lm_tab, lm_params, hash_tab):
         B, T, V = logits.shape
@@ -135,7 +148,12 @@ def prefix_beam_search_sharded(
                 x, "model", axis=1, tiled=True)
             stay = jax.tree.map(gather, stay_l)
             ext = jax.tree.map(gather, ext_l)
-            top_score, f = _merge_topk(stay, ext, K)
+            if fused_merge:
+                from pytorch_asr_tpu.ops.beam_pallas import merge_topk_fused
+
+                top_score, f = merge_topk_fused(stay, ext, K)
+            else:
+                top_score, f = _merge_topk(stay, ext, K)
             new_tokens, new_len = _apply_tokens(
                 state.tokens, state.length, f["parent"], f["append"], L)
             new_state = BeamState(

@@ -398,7 +398,7 @@ def _absorb(hsh, alive, ext_hash, ext_pnb, c_flat, blank: int, K: int,
         s = jnp.sum(jnp.exp(vals3 - mx[:, :, None]), axis=2)
         add = jnp.where(mx > NEG_INF / 2, mx + jnp.log(s), NEG_INF)
         return add, jnp.any(m3, axis=1)
-    if ROLLED_INNER:
+    if _use_rolled(hsh.shape[0]):
         B = hsh.shape[0]
         kf = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
         return _absorb_rolled(hsh, alive, ext_hash, ext_pnb, c_flat, blank,
@@ -423,9 +423,26 @@ ABSORB_RANK3 = False
 # K-round top-K selection and the K-target absorb run as lax.fori_loop
 # bodies (one traced body instead of K unrolled copies), shrinking the
 # kernel IR ~K-fold at the cost of loop carries.  Same math, bit-identical
-# selection.  See the measured compile/runtime study in the module
-# docstring before flipping the default.
+# selection (parity-pinned).  MEASURED on v5e (scripts/bench_beam_compile.py,
+# no-LM lanes kernel, K=16 V=32 T=1000, each setting in its own process --
+# the jit cache does not key on this flag):
+#
+#     B   unrolled compile/run      rolled compile/run
+#     16      15.2 s / 34.1 us         2.5 s / 37.8 us
+#     32      36.2 s / 66.5 us         2.9 s / 42.2 us
+#     64     106.8 s / 99.9 us         5.4 s / 55.5 us
+#
+# Rolled compiles ~20x faster at B=64 AND runs 1.8x faster there (0.87
+# us/utt-frame, the best point measured); only B=16 pays ~11% runtime.
+# The kernels therefore AUTO-pick: unrolled at B <= 16 (the round-4
+# headline layout), rolled beyond -- which lifts the use_fused auto gate
+# from B <= 16 to B <= 64 (decoding/prefix_beam.py).  This global forces
+# rolled everywhere when True (used by the study script).
 ROLLED_INNER = False
+
+
+def _use_rolled(B: int) -> bool:
+    return ROLLED_INNER or B > 16
 
 
 def _absorb_rolled(hsh, alive, ext_hash, ext_pnb, c_flat, blank: int,
@@ -436,8 +453,11 @@ def _absorb_rolled(hsh, alive, ext_hash, ext_pnb, c_flat, blank: int,
     B = hsh.shape[0]
     alive_i = jnp.where(alive, 1, 0)
 
+    # Loop carries stay f32/i32: Mosaic cannot legalize scf.for with i1
+    # (bool) carried vectors (measured: "failed to legalize 'scf.for'"),
+    # so the absorbed mask rides as int32 and converts on exit.
     def body(k2, carry):
-        add_acc, abs_m = carry
+        add_acc, abs_i = carry
         col = kf == k2                                      # (B, K)
         h_k2 = jnp.sum(jnp.where(col, hsh, 0), axis=1, keepdims=True)
         a_k2 = jnp.sum(jnp.where(col, alive_i, 0), axis=1,
@@ -447,11 +467,13 @@ def _absorb_rolled(hsh, alive, ext_hash, ext_pnb, c_flat, blank: int,
         mx = jnp.max(vals, axis=1)
         s = jnp.sum(jnp.exp(vals - mx[:, None]), axis=1)
         add_col = jnp.where(mx > NEG_INF / 2, mx + jnp.log(s), NEG_INF)
-        return (jnp.where(col, add_col[:, None], add_acc), abs_m | m)
+        return (jnp.where(col, add_col[:, None], add_acc),
+                jnp.where(m, 1, abs_i))
 
     add0 = jnp.full((B, K), NEG_INF)
-    abs0 = c_flat < 0                                       # all-False
-    return jax.lax.fori_loop(0, K, body, (add0, abs0))
+    abs0 = jnp.zeros(c_flat.shape, jnp.int32)
+    add, abs_i = jax.lax.fori_loop(0, K, body, (add0, abs0))
+    return add, abs_i > 0
 
 
 def _paired_topk_select_rolled(K, kf, flat_idx, stay_score, ext_score,
@@ -525,7 +547,7 @@ def _paired_topk_select(K, kf, flat_idx, stay_score, ext_score, c_flat,
     Returns (parent, append, top_score, selected) with every output
     (B, K) and ``selected`` ordered like ``fields``.
     """
-    if ROLLED_INNER:
+    if _use_rolled(stay_score.shape[0]):
         return _paired_topk_select_rolled(K, kf, flat_idx, stay_score,
                                           ext_score, c_flat, par_flat,
                                           fields)
@@ -922,6 +944,128 @@ def prefix_beam_lanes_stepwise(logits, logit_len, beam_size: int = 16,
     final_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
     final_sc = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
     return tokens, final_len, final_sc
+
+
+# ---------------------------------------------------------------------------
+# Fused merge+top-K for the BEAM-SHARDED search (round 5, VERDICT r4 item
+# 3).  The sharded search (decoding/prefix_beam_sharded.py) must exchange
+# candidates over ICI every frame, so a whole-utterance kernel cannot span
+# the mesh -- but the per-frame stepwise study above measured the per-frame
+# pallas_call structure at 36.2 us/frame vs the XLA scan's 106 (v5e, B=16
+# K=16 V=32): kernel relaunch + HBM state round-trips are CHEAP, refuting
+# the presumed refutation.  This kernel is therefore the merge half of the
+# lane search operating on GATHERED candidate arrays: each device expands
+# its K/P beams (XLA, trivial), one all_gather assembles (B, K) stays +
+# (B, K*nb) ext lanes, and the replicated merge -- absorb + K-round paired
+# top-K + field selection, the 150 us/step hot loop of the sharded scan --
+# runs as ONE Pallas program per frame.
+# ---------------------------------------------------------------------------
+
+
+def _merge_kernel(*refs, K: int, NL: int, n_ctx_cols: int):
+    (s_pb_ref, s_pnb_ref, s_lm_ref, s_hash_ref, s_last_ref, s_par_ref,
+     e_pnb_ref, e_lm_ref, e_hash_ref, e_par_ref, c_ref) = refs[:11]
+    s_ctx_refs = refs[11:11 + n_ctx_cols]
+    e_ctx_refs = refs[11 + n_ctx_cols:11 + 2 * n_ctx_cols]
+    outs = refs[11 + 2 * n_ctx_cols:]
+    (score_out, pb_out, pnb_out, lm_out, hash_out, last_out, par_out,
+     app_out) = outs[:8]
+    ctx_outs = outs[8:]
+
+    B = s_pb_ref.shape[0]
+    kf = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    flat_idx = jax.lax.broadcasted_iota(jnp.int32, (B, NL), 1)
+    stay_pb, stay_pnb = s_pb_ref[:], s_pnb_ref[:]
+    stay_lm, hsh = s_lm_ref[:], s_hash_ref[:]
+    stay_last, stay_par = s_last_ref[:], s_par_ref[:]
+    ext_pnb, ext_lm = e_pnb_ref[:], e_lm_ref[:]
+    ext_hash, ext_par = e_hash_ref[:], e_par_ref[:]
+    c_flat = c_ref[:]
+
+    # blank never appears in the ext lanes (_build_candidates emits chars
+    # 1..V-1), so absorb's c>=1 guard is the only char condition needed.
+    alive = jnp.logaddexp(stay_pb, stay_pnb) > NEG_INF / 2
+    add, abs_m = _absorb(hsh, alive, ext_hash, ext_pnb, c_flat, 0, K)
+    stay_pnb_m = jnp.logaddexp(stay_pnb, add)
+    stay_score = jnp.logaddexp(stay_pb, stay_pnb_m) + stay_lm
+    ext_score = jnp.where(abs_m, NEG_INF, ext_pnb + ext_lm)
+
+    fields = [(stay_pb, None, "f"), (stay_pnb_m, ext_pnb, "f"),
+              (stay_lm, ext_lm, "f"), (hsh, ext_hash, "i"),
+              (stay_last, c_flat, "i"), (stay_par, ext_par, "i")]
+    for sc, ec in zip(s_ctx_refs, e_ctx_refs):
+        fields.append((sc[:], ec[:], "i"))
+    parent, append, top_score, picked = _paired_topk_select(
+        K, kf, flat_idx, stay_score, ext_score, c_flat, ext_par, fields)
+    g_pb, g_pnb, g_lm, g_hash, g_last, g_par = picked[:6]
+    dead = top_score <= NEG_INF / 2
+    # NOTE ``parent`` from the select is the POSITIONAL stay index; the
+    # sharded merge needs the GLOBAL parent id field (stay_par/ext_par),
+    # which rides the field list instead.  ``append`` = -1 for stays /
+    # char for exts, exactly _merge_topk's convention.
+    score_out[:] = top_score
+    pb_out[:] = jnp.where(dead, NEG_INF, g_pb)
+    pnb_out[:] = jnp.where(dead, NEG_INF, g_pnb)
+    lm_out[:] = g_lm
+    hash_out[:] = jnp.where(dead, -(kf + 1), g_hash)
+    last_out[:] = g_last
+    par_out[:] = g_par
+    app_out[:] = append
+    for o, v in zip(ctx_outs, picked[6:]):
+        o[:] = v
+
+
+def merge_topk_fused(stay: dict, ext: dict, K: int):
+    """Drop-in fused replacement for decoding.prefix_beam._merge_topk
+    (non-sparse form): same (top_score, fields) contract, same absorb /
+    ranking / tie-break / dead-filler semantics (parity-tested).  ``ext``
+    fields arrive (B, Kc, nb) and are flattened to candidate lanes here;
+    ``ctx`` may be (B, K) or a (B, K, C) window -- C static columns ride
+    the select as extra int fields."""
+    B, Ks = stay["hash"].shape
+    nb = ext["pnb"].shape[2]
+    NL = Ks * nb
+    ctx = stay["ctx"]
+    n_ctx_cols = 0 if ctx.ndim == 2 else ctx.shape[-1]
+
+    def lanes(x):                                     # (B, K, nb) -> (B, NL)
+        return x.reshape(B, NL)
+
+    ins = [stay["pb"], stay["pnb"], stay["lm"], stay["hash"],
+           stay["last"], stay["parent"],
+           lanes(ext["pnb"]), lanes(ext["lm"]), lanes(ext["hash"]),
+           lanes(ext["parent"]), lanes(ext["append"])]
+    if n_ctx_cols:
+        ins += [stay["ctx"][..., c] for c in range(n_ctx_cols)]
+        ins += [lanes(ext["ctx"][..., c]) for c in range(n_ctx_cols)]
+    else:
+        ins += [stay["ctx"], lanes(ext["ctx"])]
+    ncc = n_ctx_cols or 1
+    kern = functools.partial(_merge_kernel, K=K, NL=NL,
+                             n_ctx_cols=ncc)
+    f32, i32 = jnp.float32, jnp.int32
+    out_shape = ([jax.ShapeDtypeStruct((B, K), f32)] * 4
+                 + [jax.ShapeDtypeStruct((B, K), i32)] * 4
+                 + [jax.ShapeDtypeStruct((B, K), i32)] * ncc)
+    outs = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ins),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pallas_interpret(),
+    )(*[x.astype(f32) if d == "f" else x.astype(i32)
+        for x, d in zip(ins, "fff" "ii" "i" "ff" "i" "ii" + "i" * 2 * ncc)])
+    (top_score, pb, pnb, lm, hsh, last, par, app) = outs[:8]
+    ctx_cols = outs[8:]
+    if n_ctx_cols:
+        new_ctx = jnp.stack(ctx_cols, axis=-1)
+    else:
+        new_ctx = ctx_cols[0]
+    fields = {"pb": pb, "pnb": pnb, "lm": lm, "hash": hsh, "ctx": new_ctx,
+              "last": last, "parent": par, "append": app}
+    return top_score, fields
 
 
 # ---------------------------------------------------------------------------

@@ -73,6 +73,64 @@ def main() -> None:
         print(f"xla scan: {dt*1e3:.2f} ms  per-step {dt/T*1e6:.1f} us")
         return
 
+    if kv.get("merge", "0") == "1":
+        # The beam-SHARDED search's replicated per-frame merge, exactly as
+        # prefix_beam_sharded runs it (full-vocab candidates from
+        # _build_candidates, then merge+top-K) -- XLA vs the fused Pallas
+        # merge kernel, single device (the collective rides ICI either way).
+        B = batches[0]
+        logits = jnp.asarray(
+            rng.standard_normal((B, T, V)).astype(np.float32))
+        lens = jnp.full((B,), T, jnp.int32)
+
+        def search(fused):
+            def fn(lg, ln):
+                logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+                state = pb._init_state(B, K, 256)
+
+                def scan_fn(carry, inp):
+                    st = carry
+                    t, logp_t = inp
+                    stay, ext = pb._build_candidates(
+                        st, logp_t, blank=0, vocab=V, lm_table=None,
+                        lm_alpha=0.0, lm_beta=0.0, K=K, L=256)
+                    if fused:
+                        ts, f = bp.merge_topk_fused(stay, ext, K)
+                    else:
+                        ts, f = pb._merge_topk(stay, ext, K)
+                    toks, nlen = pb._apply_tokens(
+                        st.tokens, st.length, f["parent"], f["append"], 256)
+                    new = pb.BeamState(
+                        tokens=toks, length=nlen, pb=f["pb"], pnb=f["pnb"],
+                        lm_s=f["lm"], hash=f["hash"], ctx=f["ctx"],
+                        last=f["last"])
+                    keep = (t < ln)[:, None]
+                    merged = jax.tree.map(
+                        lambda n_, o: jnp.where(
+                            keep.reshape((B,) + (1,) * (n_.ndim - 1)),
+                            n_, o), new, st)
+                    return merged, None
+
+                (st), _ = jax.lax.scan(
+                    scan_fn, state,
+                    (jnp.arange(T), jnp.swapaxes(logp, 0, 1)))
+                fin = jnp.logaddexp(st.pb, st.pnb)
+                best = jnp.argmax(fin, axis=1)
+                return (jnp.take_along_axis(st.tokens, best[:, None, None],
+                                            axis=1)[:, 0],)
+            return jax.jit(fn)
+
+        for name, fused in (("xla merge scan   ", False),
+                            ("fused merge scan ", True)):
+            dt = measure_run(search(fused), logits, lens)
+            print(f"{name}: {dt*1e3:.2f} ms  per-step {dt/T*1e6:.1f} us")
+        return
+
+    # NOTE: measure each ROLLED_INNER setting in its OWN process --
+    # jax.jit's cache key is (function, statics, shapes) and does not see
+    # the module flag, so the second setting in one process silently reuses
+    # the first setting's executable (compile "0.1 s" = a cache hit, and
+    # the runtime measured is the WRONG kernel).  Pass rolled=0 / rolled=1.
     rolled_opts = [False, True]
     if kv.get("rolled", "") in ("0", "1"):
         rolled_opts = [kv["rolled"] == "1"]

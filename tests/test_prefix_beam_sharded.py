@@ -43,6 +43,47 @@ def test_sharded_matches_unsharded(model_axis):
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sh), rtol=1e-6)
 
 
+def test_sharded_fused_merge_matches(monkeypatch):
+    """Round 5: the Pallas merge+top-K kernel inside the beam-sharded scan
+    (fused_merge=True, interpret mode) must stay bit-identical to the XLA
+    merge -- no-LM, dense-table, and RNN fusion sources."""
+    from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
+    from pytorch_asr_tpu.ops import runtime
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    runtime.force_interpret(True)
+    try:
+        mesh = make_mesh(MeshConfig(data_axis=2, model_axis=2),
+                         devices=jax.devices()[:4])
+        rng = np.random.default_rng(4)
+        B, T, V, K = 2, 10, 6, 4
+        logits = _logp(rng, B, T, V)
+        lens = jnp.asarray([T, T - 3])
+        tab = rng.normal(size=(V, V)).astype(np.float32)
+        tab = jnp.asarray(
+            tab - np.log(np.exp(tab).sum(axis=1, keepdims=True)))
+        rnn = CharRNNLM(RNNLMConfig(embed_dim=4, hidden_dim=8, num_layers=1),
+                        vocab_size=V)
+        rp = rnn.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 4), jnp.int32))["params"]
+        for kw in ({}, {"lm_table": tab, "lm_alpha": 0.4, "lm_beta": 0.8},
+                   {"rnn_lm": rnn, "rnn_lm_params": rp, "lm_alpha": 0.3,
+                    "sos_id": V - 1}):
+            t_f, l_f, s_f = prefix_beam_search_sharded(
+                logits, lens, mesh, beam_size=K, max_len=T + 1,
+                fused_merge=True, **kw)
+            t_x, l_x, s_x = prefix_beam_search_sharded(
+                logits, lens, mesh, beam_size=K, max_len=T + 1,
+                fused_merge=False, **kw)
+            np.testing.assert_array_equal(np.asarray(l_f), np.asarray(l_x))
+            np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_x))
+            np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x),
+                                       rtol=1e-5, atol=1e-5)
+    finally:
+        runtime.force_interpret(None)
+
+
 def test_sharded_model_axis_1_delegates_and_matches():
     """model_axis=1 (pure data mesh): prefix_beam_search_sharded must
     delegate to the single-device search under the mesh (the route that
