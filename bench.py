@@ -252,6 +252,18 @@ def pipeline_bench(measure_steps: int = 20):
         "overlapped_s": round(dt, 3),
         "overlap_ratio": round(min(1.0, (device_s + h2d_s) / dt), 3),
     }
+    # Decode-side ladder (round 5, decode.auto_buckets=14 in the canonical
+    # configs): decode batches never feed the train step, so the decode loop
+    # may use a much finer DP-optimal ladder -- report the padding
+    # efficiency the shipped driver logic achieves on this corpus profile.
+    from pytorch_asr_tpu.data.bucket_opt import padding_efficiency
+
+    lens_all = [int(n) for n in corpus.audio_lengths()]
+    dec_a, _ = optimize_buckets(
+        lens_all, [len(corpus.transcript(i)) for i in range(len(corpus))],
+        14)
+    phases["padding_efficiency_decode_k14"] = round(
+        padding_efficiency(lens_all, dec_a), 4)
     return valid_s / dt / chips, valid_s / padded_s, phases
 
 
