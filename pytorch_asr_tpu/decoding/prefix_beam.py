@@ -481,10 +481,12 @@ def prefix_beam_search(
                                      # +top-A, and in-kernel RNN-LM fusion,
                                      # round 5) on a real TPU at
                                      # kernel-validated sizes (lanes
-                                     # <= 2048, B <= 16; 1.9-3.5x the scan
-                                     # on v5e, see ops/beam_pallas.py);
-                                     # True: force them (any batch; compile
-                                     # grows steeply past B=16); False: scan
+                                     # <= 2048, B <= 64 -- rolled inner
+                                     # loops past B=16 keep Mosaic compile
+                                     # ~5 s; 1.9-7.7x the scan on v5e, see
+                                     # ops/beam_pallas.py);
+                                     # True: force them (any batch);
+                                     # False: scan
     lm_top_k: int = 0,           # acoustic-pruned hashed fusion (see _step)
     ext_top_a: int = 0,          # restrict ext candidates to the frame's
                                  # top-A acoustic chars, exact LM on all of

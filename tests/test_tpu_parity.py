@@ -342,8 +342,14 @@ def test_lanes_topa_rnn_parity_on_tpu():
         n = int(lk[b])
         np.testing.assert_array_equal(np.asarray(tk)[b, :n],
                                       np.asarray(tx)[b, :n])
+    # Tokens/lengths above are EXACT; the fused score accumulates T LSTM
+    # logp outputs computed by a different matmul algorithm (Pallas MXU
+    # HIGHEST vs XLA's lowering of the scan's lm_step), so per-frame ulp
+    # drift compounds to ~4e-4 relative at |score| ~ 200 (measured v5e) --
+    # wider rtol than the acoustic-only kernels, whose float ops are
+    # order-identical.
     np.testing.assert_allclose(np.asarray(sk), np.asarray(sx),
-                               rtol=1e-4, atol=1e-3)
+                               rtol=2e-3, atol=1e-3)
 
 
 def test_lanes_beam_dense_lm_parity_on_tpu():
