@@ -533,6 +533,10 @@ def prefix_beam_search(
                   and lm_table.shape[0] * V * 4 <= 8 * 1024 * 1024)
     rnn_topa = (0 < ext_top_a < V and rnn_lm is not None
                 and lm_table is None and hash_lm is None and not lm_top_k)
+    # Unrestricted RNN fusion (char-scale vocabs): the same kernel with
+    # candidate lanes = all chars (top_a == V), gated by the K*V lane bound.
+    rnn_full = (not ext_top_a and rnn_lm is not None and lm_table is None
+                and hash_lm is None and not lm_top_k)
     if use_fused is None:
         # Auto: the lane-parallel fused kernel (ops/beam_pallas.py,
         # prefix_beam_fused_lanes) wins 3.5x over this scan on v5e at the
@@ -552,7 +556,7 @@ def prefix_beam_search(
         # pure function of shapes+statics -- the jit cache key -- rather
         # than of the ambient mesh context at trace time.
         use_fused = ((no_lm or dense_only or topa_only or dense_topa
-                      or rnn_topa)
+                      or rnn_topa or rnn_full)
                      and jax.default_backend() == "tpu" and lanes <= 2048
                      and B <= 64)
     if use_fused:
@@ -589,15 +593,16 @@ def prefix_beam_search(
         fn = maybe_data_shard_map(fn, in_specs=(P("data"), P("data")),
                                   out_specs=(P("data"),) * 3)
         return fn(logits, logit_len)
-    if use_fused and rnn_topa:
+    if use_fused and (rnn_topa or rnn_full):
         from jax.sharding import PartitionSpec as P
 
         from pytorch_asr_tpu.ops.beam_pallas import (
             prefix_beam_fused_lanes_topa_rnn)
         from pytorch_asr_tpu.parallel.mesh import maybe_data_shard_map
 
+        a_eff = ext_top_a if rnn_topa else V
         fn = lambda lg, ln, pp: prefix_beam_fused_lanes_topa_rnn(  # noqa: E731
-            lg, ln, rnn_lm, pp, beam_size, blank, max_len, ext_top_a,
+            lg, ln, rnn_lm, pp, beam_size, blank, max_len, a_eff,
             lm_alpha=lm_alpha, lm_beta=lm_beta, sos_id=sos_id)
         fn = maybe_data_shard_map(
             fn, in_specs=(P("data"), P("data"),

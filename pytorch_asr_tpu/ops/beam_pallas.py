@@ -77,7 +77,11 @@ scalarization/reshape limit the round-2 kernel hit:
     matmul.  Measured v5e same shape, H=256 E=128 2 layers: 81.8 us/frame
     vs 501.7 for the ext_top_a + rnn scan (6.1x) and 170.8 for the
     full-vocab rnn scan (2.1x) -- the BASELINE "device-resident LM state"
-    north star with zero HBM round-trips per frame.
+    north star with zero HBM round-trips per frame.  With ``top_a == V``
+    the same kernel runs the UNRESTRICTED search (identity candidate
+    one-hot, lane order == the scan's merge order): 46.7 vs 110.8 us/frame
+    (2.4x) against the unrestricted rnn scan at char vocab (V=32 B=16
+    K=16 H=256 1 layer).
 
   Hashed backoff tables remain the recorded REFUTATION for in-kernel
   fusion: they are HBM-resident by design (tens of MB of packed buckets)
@@ -1457,12 +1461,18 @@ def prefix_beam_fused_lanes_topa_rnn(logits, logit_len, rnn_lm,
     BASELINE north star with zero HBM round-trips per frame.  The <sos>
     priming step runs once outside (all beams start identical).
 
+    ``top_a == V`` runs the UNRESTRICTED search (candidate lanes = every
+    char in id order, exactly the scan's unrestricted merge order; the
+    candidate-lane gather degenerates to an identity one-hot) -- the fused
+    char-vocab RNN fusion path, parity vs prefix_beam_search(rnn_lm=...)
+    with no ext_top_a.
+
     Returns (tokens (B, L), lengths (B,), scores (B,)).
     """
     B, T, V = logits.shape
     K, L, A = beam_size, max_len, int(top_a)
-    if A >= V:
-        raise ValueError(f"top_a {A} must be < vocab {V}")
+    if A > V:
+        raise ValueError(f"top_a {A} must be <= vocab {V}")
     cfg = rnn_lm.cfg
     nl, H, E = cfg.num_layers, cfg.hidden_dim, cfg.embed_dim
     BK = B * K
@@ -1484,7 +1494,13 @@ def prefix_beam_fused_lanes_topa_rnn(logits, logit_len, rnn_lm,
     t_pad = _round_up(T, tc)
     n_chunks = t_pad // tc
     logp_p = jnp.pad(logp, ((0, 0), (0, t_pad - T), (0, 0)))
-    top_val, top_idx = jax.lax.top_k(logp_p, A)              # (B, Tp, A)
+    if A == V:
+        # Unrestricted: lanes = all chars in id order (scan merge order).
+        top_val = logp_p
+        top_idx = jnp.broadcast_to(
+            jnp.arange(V, dtype=jnp.int32)[None, None, :], logp_p.shape)
+    else:
+        top_val, top_idx = jax.lax.top_k(logp_p, A)          # (B, Tp, A)
     logp_tbv = jnp.swapaxes(logp_p, 0, 1)
     tv_tba = jnp.swapaxes(top_val, 0, 1)
     ti_tba = jnp.swapaxes(top_idx, 0, 1).astype(jnp.int32)

@@ -138,6 +138,22 @@ def main() -> None:
         measure("lanes+dense", lambda: jax.jit(
             prefix_beam_fused_lanes, static_argnums=(2, 3, 4, 6, 7))(
             logits, lens, K, 0, 256, table_l, 0.5, 1.0))
+
+        if kv.get("lm", "1") == "1":
+            # round 5: UNRESTRICTED in-kernel RNN fusion (top_a == V) at
+            # char-scale vocabs, vs the rnn scan above.
+            from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
+            from pytorch_asr_tpu.ops.beam_pallas import (
+                prefix_beam_fused_lanes_topa_rnn)
+
+            rnn_f = CharRNNLM(RNNLMConfig(embed_dim=64, hidden_dim=256,
+                                          num_layers=1), vocab_size=V)
+            rp_f = rnn_f.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 4), jnp.int32))["params"]
+            measure("lanes rnn full-vocab", lambda: jax.jit(
+                prefix_beam_fused_lanes_topa_rnn,
+                static_argnums=(2, 4, 5, 6, 7, 8, 9, 10))(
+                logits, lens, rnn_f, rp_f, K, 0, 256, V, 0.5, 1.0, V - 1))
     elif kv.get("lanes", "1") == "1" and V >= 256:
         # BPE-scale: the full-vocab lane layout is refuted (279 us/frame at
         # K*V=16384, see ops/beam_pallas.py); the restricted-candidate lane

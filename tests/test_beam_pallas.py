@@ -220,6 +220,44 @@ def test_ext_top_a_geq_vocab_is_unrestricted_not_kernel():
     np.testing.assert_array_equal(np.asarray(tk), np.asarray(tx))
 
 
+def test_lanes_rnn_fullvocab_matches_unrestricted_scan():
+    """top_a == V (round 5): the RNN-fused lane kernel runs the
+    UNRESTRICTED search -- parity vs the plain rnn_lm scan, including via
+    the use_fused=True dispatch with ext_top_a=0."""
+    from pytorch_asr_tpu.models.lm_rnn import CharRNNLM, RNNLMConfig
+    from pytorch_asr_tpu.ops.beam_pallas import (
+        prefix_beam_fused_lanes_topa_rnn)
+
+    rng = np.random.default_rng(21)
+    B, T, V, K, L = 2, 12, 16, 4, 16
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.asarray([T, T - 4], np.int32)
+    rnn = CharRNNLM(RNNLMConfig(embed_dim=8, hidden_dim=16, num_layers=1),
+                    vocab_size=V)
+    params = rnn.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 4), jnp.int32))["params"]
+    tk, lk, sk = prefix_beam_fused_lanes_topa_rnn(
+        logits, lens, rnn, params, beam_size=K, max_len=L, top_a=V,
+        lm_alpha=0.3, lm_beta=0.6, sos_id=V - 1)
+    tx, lx, sx = prefix_beam_search(
+        logits, lens, beam_size=K, max_len=L, rnn_lm=rnn,
+        rnn_lm_params=params, lm_alpha=0.3, lm_beta=0.6, sos_id=V - 1,
+        use_fused=False)
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lx))
+    for b in range(B):
+        n = int(lk[b])
+        np.testing.assert_array_equal(np.asarray(tk)[b, :n],
+                                      np.asarray(tx)[b, :n])
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-5,
+                               atol=1e-5)
+    td, ld, _ = prefix_beam_search(
+        logits, lens, beam_size=K, max_len=L, rnn_lm=rnn,
+        rnn_lm_params=params, lm_alpha=0.3, lm_beta=0.6, sos_id=V - 1,
+        use_fused=True)
+    np.testing.assert_array_equal(np.asarray(ld), np.asarray(lx))
+    np.testing.assert_array_equal(np.asarray(td), np.asarray(tx))
+
+
 def test_stepwise_lanes_matches_scan():
     """The per-frame pallas_call study variant (sharded-fused stand-in)
     must still be token-identical to the scan."""
