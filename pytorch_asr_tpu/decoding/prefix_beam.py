@@ -555,10 +555,17 @@ def prefix_beam_search(
         # B under a data mesh is only smaller), keeping the auto decision a
         # pure function of shapes+statics -- the jit cache key -- rather
         # than of the ambient mesh context at trace time.
+        # The LM-fused top-A routes keep the round-4 B <= 16 cap: their
+        # candidate-row gather (_gather_rows_topa) unrolls over B, so the
+        # rolled-loop compile win does not apply (measured 121.9 s at B=64
+        # for the RNN kernel) -- and at B=64 x T=50 the cross-algorithm LM
+        # score drift (~1e-5) flips ~2e-4 of top-K decisions, so large-
+        # batch LM-fused decode stays on the scan unless forced.
+        b_cap = 16 if (dense_topa or rnn_topa or rnn_full) else 64
         use_fused = ((no_lm or dense_only or topa_only or dense_topa
                       or rnn_topa or rnn_full)
                      and jax.default_backend() == "tpu" and lanes <= 2048
-                     and B <= 64)
+                     and B <= b_cap)
     if use_fused:
         # Under an active data mesh the kernel runs per shard via shard_map,
         # which needs the batch divisible by the data axis; fall back to the

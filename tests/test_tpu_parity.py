@@ -322,7 +322,17 @@ def test_lanes_topa_rnn_parity_on_tpu():
 
     rng = np.random.default_rng(19)
     B, T, V, K, L, A = 4, 48, 256, 16, 40, 32
-    logits = jnp.asarray(rng.standard_normal((B, T, V)), jnp.float32)
+    # Random logits PLUS a planted path: the search stays non-trivial but
+    # decisive.  The kernel computes the LM step with a different matmul
+    # algorithm than the scan (MXU HIGHEST vs XLA), so purely random
+    # scores have ~1e-5 cross-impl drift and rank-K near-ties can flip on
+    # noise (measured ~2e-4 of decisions at B=64) -- the CPU interpret
+    # test pins exact arithmetic; this test pins the Mosaic compile.
+    raw = rng.standard_normal((B, T, V)).astype(np.float32)
+    path = rng.integers(0, V, size=(B, T))
+    for b in range(B):
+        raw[b, np.arange(T), path[b]] += 4.0
+    logits = jnp.asarray(raw)
     lens = jnp.asarray([T, T - 7, T // 2, T - 1], np.int32)
     rnn = CharRNNLM(RNNLMConfig(embed_dim=32, hidden_dim=64, num_layers=2),
                     vocab_size=V)
