@@ -77,7 +77,11 @@ scalarization/reshape limit the round-2 kernel hit:
     matmul.  Measured v5e same shape, H=256 E=128 2 layers: 81.8 us/frame
     vs 501.7 for the ext_top_a + rnn scan (6.1x) and 170.8 for the
     full-vocab rnn scan (2.1x) -- the BASELINE "device-resident LM state"
-    north star with zero HBM round-trips per frame.  With ``top_a == V``
+    north star with zero HBM round-trips per frame.  TIME_CHUNK sweep for
+    THIS kernel's heavier body (fresh process per point): tc=4 80.1
+    us/frame (a wash vs tc=8's 81.8, within tunnel variance; 72 s
+    compile), tc=16 compile exceeded 25 min -- tc=8 retained.  With
+    ``top_a == V``
     the same kernel runs the UNRESTRICTED search (identity candidate
     one-hot, lane order == the scan's merge order): 46.7 vs 110.8 us/frame
     (2.4x) against the unrestricted rnn scan at char vocab (V=32 B=16
